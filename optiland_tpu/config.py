@@ -1,0 +1,55 @@
+"""Global numeric configuration for optiland_tpu.
+
+The reference framework (optiland) defaults to float64 NumPy; parity test
+suites therefore run in float64 (JAX x64 mode, typically on CPU). On TPU
+hardware, float64 is software-emulated and slow, so performance-mode runs use
+float32 (or bfloat16 inside Pallas kernels where tolerable).
+
+x64 is enabled at import time unless the environment variable
+``OPTILAND_TPU_X64`` is set to ``"0"``. Working dtype for array construction
+is controlled with :func:`set_precision`.
+
+Replaces the reference's backend precision knobs
+(reference: optiland/backend/__init__.py:120-141, torch_backend.py:64-103)
+with a single JAX-native dtype configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+_X64 = os.environ.get("OPTILAND_TPU_X64", "1") != "0"
+if _X64:
+    jax.config.update("jax_enable_x64", True)
+
+_PRECISIONS = {
+    "float32": jnp.float32,
+    "float64": jnp.float64,
+}
+
+_working_dtype = jnp.float64 if _X64 else jnp.float32
+
+
+def set_precision(precision: str) -> None:
+    """Set the working floating-point precision ("float32" or "float64")."""
+    global _working_dtype
+    if precision not in _PRECISIONS:
+        raise ValueError(
+            f"Unknown precision {precision!r}; expected one of {list(_PRECISIONS)}"
+        )
+    if precision == "float64" and not jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", True)
+    _working_dtype = _PRECISIONS[precision]
+
+
+def get_precision() -> str:
+    """Return the current working precision as a string."""
+    return "float64" if _working_dtype == jnp.float64 else "float32"
+
+
+def dtype() -> jnp.dtype:
+    """Return the current working dtype."""
+    return _working_dtype

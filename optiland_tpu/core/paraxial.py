@@ -1,0 +1,293 @@
+"""Functional paraxial engine.
+
+Pure-function equivalents of the reference's Paraxial class and
+ParaxialRayTracer (reference: optiland/paraxial.py:32-456,
+raytrace/paraxial_ray_tracer.py:22-156): first-order properties (focal
+lengths, cardinal points, pupils, F-number, invariant) and the generic
+y/u paraxial trace with reverse/skip.
+
+The surface count is small and static, so traces unroll as Python loops
+over jnp scalars — fully differentiable and cheap under jit. These
+functions run *inside* the jitted real-ray trace (ray aiming needs
+EPL/EPD), making pupil locations differentiable parts of the compute graph
+rather than cached Python attributes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from optiland_tpu.core.system import System, n_all, positions
+
+
+def _paraxial_arrays(system: System, wavelength=None):
+    """Radii, indices, positions, reflect flags for the paraxial trace."""
+    stack, cfg = system.stack, system.cfg
+    w = system.primary_wavelength if wavelength is None else wavelength
+    R = stack.radius
+    n = n_all(stack, cfg, w)
+    pos = positions(stack)
+    refl = list(cfg.reflective)
+    return R, n, pos, refl
+
+
+def trace_generic(
+    system: System,
+    y,
+    u,
+    z,
+    wavelength=None,
+    reverse: bool = False,
+    skip: int = 0,
+):
+    """Trace a generic paraxial ray; returns per-surface (heights, slopes).
+
+    Semantics mirror reference trace_generic
+    (raytrace/paraxial_ray_tracer.py:58-140): the object surface
+    contributes its row without propagation; reverse flips the system
+    (R -> -flip(R), n -> flip(roll(n,1)), pos -> pos[-1] - flip(pos)).
+    """
+    R, n, pos, refl = _paraxial_arrays(system, wavelength)
+    S = system.cfg.num_surfaces
+    is_object = [i == 0 for i in range(S)]
+
+    if reverse:
+        R = -jnp.flip(R)
+        n = jnp.flip(jnp.roll(n, shift=1))
+        pos = pos[-1] - jnp.flip(pos)
+        refl = refl[::-1]
+        is_object = is_object[::-1]
+
+    power = jnp.diff(n, prepend=n[:1]) / R
+
+    y_ = jnp.asarray(y, dtype=R.dtype)
+    u_ = jnp.asarray(u, dtype=R.dtype)
+    z_ = jnp.asarray(z, dtype=R.dtype)
+    y_, u_, z_ = jnp.broadcast_arrays(
+        jnp.atleast_1d(y_), jnp.atleast_1d(u_), jnp.atleast_1d(z_)
+    )
+
+    heights, slopes = [], []
+    for k in range(skip, S):
+        if is_object[k]:
+            heights.append(y_)
+            slopes.append(u_)
+            continue
+        t = pos[k] - z_
+        z_ = jnp.broadcast_to(pos[k], z_.shape)
+        y_ = y_ + t * u_
+        if refl[k]:
+            u_ = -u_ - 2 * y_ / R[k]
+        else:
+            u_ = (n[k - 1] * u_ - y_ * power[k]) / n[k]
+        heights.append(y_)
+        slopes.append(u_)
+
+    return jnp.stack(heights), jnp.stack(slopes)
+
+
+def f1(system: System):
+    """Front focal length (reference: paraxial.py:61-72)."""
+    y, u = trace_generic(system, 1.0, 0.0, -1.0, reverse=True, skip=1)
+    return (y[0] / u[-1])[0]
+
+
+def f2(system: System):
+    """Back (effective) focal length (reference: paraxial.py:74-86)."""
+    pos = positions(system.stack)
+    y, u = trace_generic(system, 1.0, 0.0, pos[1] - 1)
+    return (-y[0] / u[-1])[0]
+
+
+def F1(system: System):
+    """Front focal point location relative to surface 1."""
+    y, u = trace_generic(system, 1.0, 0.0, -1.0, reverse=True, skip=1)
+    return (y[-1] / u[-1])[0]
+
+
+def F2(system: System):
+    """Back focal point location relative to the image surface."""
+    pos = positions(system.stack)
+    y, u = trace_generic(system, 1.0, 0.0, pos[1] - 1)
+    return (-y[-1] / u[-1])[0]
+
+
+def P1(system: System):
+    return F1(system) - f1(system)
+
+
+def P2(system: System):
+    return F2(system) - f2(system)
+
+
+def P1anti(system: System):
+    return F1(system) + f1(system)
+
+
+def P2anti(system: System):
+    return F2(system) + f2(system)
+
+
+def N1(system: System):
+    return F1(system) + f2(system)
+
+
+def N2(system: System):
+    return F2(system) + f1(system)
+
+
+def N1anti(system: System):
+    return F1(system) - f2(system)
+
+
+def N2anti(system: System):
+    return F2(system) - f1(system)
+
+
+def EPL(system: System):
+    """Entrance pupil location (reference: paraxial.py:206-229)."""
+    stop_index = system.cfg.stop_index
+    pos = positions(system.stack)
+    if stop_index == 1:
+        return pos[1]
+    z0 = pos[-1] - pos[stop_index]
+    skip = system.cfg.num_surfaces - stop_index
+    y, u = trace_generic(system, 0.0, 0.1, z0, reverse=True, skip=skip)
+    return (y[-1] / u[-1])[0]
+
+
+def XPL(system: System):
+    """Exit pupil location relative to the image surface."""
+    stop_index = system.cfg.stop_index
+    pos = positions(system.stack)
+    y, u = trace_generic(
+        system, 0.0, 0.1, pos[stop_index], skip=stop_index + 1
+    )
+    return (-y[-1] / u[-1])[0]
+
+
+def EPD(system: System):
+    """Entrance pupil diameter, dispatched on the system aperture type
+    (reference: optiland/aperture/{epd,image_fno,object_na,float_by_stop}.py)."""
+    ap = system.cfg.aperture_type
+    v = system.aperture_value
+    if ap == "EPD":
+        return v
+    if ap == "imageFNO":
+        return f2(system) / v
+    if ap == "objectNA":
+        pos = positions(system.stack)
+        stack, cfg = system.stack, system.cfg
+        from optiland_tpu.core.system import n_of
+
+        n0 = n_of(
+            cfg.mat_formulas[0], stack.mat_coeffs[0], stack.ntab[0],
+            system.primary_wavelength,
+        )
+        u0 = jnp.arcsin(v / n0)
+        z = EPL(system) - pos[0]
+        return 2 * z * jnp.tan(u0)
+    if ap == "float_by_stop_size":
+        stop_index = system.cfg.stop_index
+        pos = positions(system.stack)
+        if system.cfg.obj_infinite:
+            y, _ = trace_generic(system, 1.0, 0.0, -1.0)
+            return (v / y[stop_index])[0]
+        obj_z = pos[0]
+        epl = EPL(system)
+        y, _ = trace_generic(system, 0.0, 0.1, obj_z)
+        u0 = 0.1 * v / y[stop_index]
+        return (u0 * (epl - obj_z))[0]
+    raise ValueError(f"Unknown aperture type: {ap}")
+
+
+def XPD(system: System):
+    """Exit pupil diameter (reference: paraxial.py:258-275)."""
+    ya, ua = marginal_ray(system)
+    yxp = ya[-1] + ua[-1] * XPL(system)
+    return (2 * yxp)[0]
+
+
+def FNO(system: System):
+    """Image-space F-number (reference: paraxial.py:277-289)."""
+    if system.cfg.aperture_type == "imageFNO":
+        return system.aperture_value
+    return f2(system) / EPD(system)
+
+
+def magnification(system: System):
+    """Transverse magnification (reference: paraxial.py:291-301)."""
+    _, ua = marginal_ray(system)
+    n = n_all(system.stack, system.cfg, system.primary_wavelength)
+    return (n[0] * ua[0] / (n[-1] * ua[-1]))[0]
+
+
+def invariant(system: System):
+    """Lagrange invariant (reference: paraxial.py:303-314)."""
+    ya, ua = marginal_ray(system)
+    yb, ub = chief_ray(system)
+    n = n_all(system.stack, system.cfg, system.primary_wavelength)
+    return (yb[1] * n[1] * ua[1] - ya[1] * n[1] * ub[1])[0]
+
+
+def marginal_ray(system: System):
+    """Marginal ray heights/slopes at every surface
+    (reference: paraxial.py:316-345)."""
+    epd = EPD(system)
+    pos = positions(system.stack)
+    if system.cfg.obj_infinite:
+        ya, ua = epd / 2, jnp.zeros_like(epd)
+        obj_z = pos[1] - 10.0
+    else:
+        obj_z = pos[0]
+        z = EPL(system) - obj_z
+        ya, ua = jnp.zeros_like(epd), epd / (2 * z)
+    return trace_generic(system, ya, ua, obj_z)
+
+
+def chief_ray(system: System):
+    """Chief ray heights/slopes at every surface
+    (reference: paraxial.py:347-410). Currently supports angle and
+    object-height field definitions."""
+    cfg = system.cfg
+    stop_index = cfg.stop_index
+    pos = positions(system.stack)
+    num_surf = cfg.num_surfaces
+    y0, u0 = 0.0, 0.1
+
+    # Unit ray forward from the stop to the image
+    y_fwd, _ = trace_generic(system, y0, u0, pos[stop_index], skip=stop_index)
+    y_img_unit = y_fwd[-1]
+
+    # Same unit ray backward from the stop to the object
+    z_rev = pos[-1] - pos[stop_index]
+    skip_rev = num_surf - stop_index
+    y_rev, u_rev = trace_generic(
+        system, y0, u0, z_rev, reverse=True, skip=skip_rev
+    )
+    y_obj_unit, u_obj_unit = y_rev[-1], u_rev[-1]
+
+    scaling = _scale_chief_ray(system, y_obj_unit, u_obj_unit, y_img_unit)
+
+    y_obj_start = -(y_obj_unit * scaling)
+    u_obj_start = u_obj_unit * scaling
+
+    if cfg.obj_infinite:
+        epl = EPL(system)
+        z1 = pos[1]
+        y1 = u_obj_start * (z1 - epl)
+        return trace_generic(system, y1, u_obj_start, z1)
+    return trace_generic(system, y_obj_start, u_obj_start, pos[0])
+
+
+def _scale_chief_ray(system: System, y_obj_unit, u_obj_unit, y_img_unit):
+    """Field-definition-specific chief-ray scaling
+    (reference: fields/field_types/*.py scale_chief_ray_for_field)."""
+    ft = system.cfg.field_type
+    max_y_field = jnp.max(system.field_y)
+    if ft == "angle":
+        target_slope = jnp.tan(jnp.deg2rad(max_y_field))
+        return target_slope / u_obj_unit
+    if ft == "object_height":
+        return max_y_field / y_obj_unit
+    raise NotImplementedError(f"Field type {ft} not yet supported")

@@ -1,0 +1,136 @@
+"""Ray generation: field definitions, vignetting, and paraxial ray aiming.
+
+Pure-function equivalents of the reference's RayGenerator + field-type
+classes + ParaxialRayAimer (reference: optiland/rays/ray_generator.py:22-99,
+fields/field_types/angle.py, object_height.py,
+rays/ray_aiming/paraxial.py:23-118). Everything here runs inside jit: pupil
+locations come from the differentiable paraxial engine, so gradients flow
+from spot positions back to lens parameters through the aiming itself.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from optiland_tpu.core import paraxial
+from optiland_tpu.core.rays import RealRays
+from optiland_tpu.core.system import System, positions
+
+
+def get_vig_factor(system: System, Hx, Hy):
+    """Nearest-neighbor interpolation of per-field vignetting factors
+    (reference: fields/field_group.py:93-123)."""
+    fx, fy = system.field_x, system.field_y
+    max_field = jnp.max(jnp.sqrt(fx**2 + fy**2))
+    scale = jnp.where(max_field == 0, 1.0, max_field)
+    nx = fx / scale
+    ny = fy / scale
+    d2 = (Hx[..., None] - nx) ** 2 + (Hy[..., None] - ny) ** 2
+    idx = jnp.argmin(d2, axis=-1)
+    return system.vig_x[idx], system.vig_y[idx]
+
+
+def _starting_z_offset(system: System):
+    """Launch-plane offset for infinite-conjugate systems
+    (reference: fields/field_types/angle.py:103-117)."""
+    pos = positions(system.stack)
+    z = pos[1:-1]
+    return paraxial.EPD(system) - jnp.min(z)
+
+
+def get_ray_origins(system: System, Hx, Hy, Px, Py, vx, vy):
+    """Ray origin positions for the configured field definition."""
+    ft = system.cfg.field_type
+    fx, fy = system.field_x, system.field_y
+    max_field = jnp.max(jnp.sqrt(fx**2 + fy**2))
+    field_x = max_field * Hx
+    field_y = max_field * Hy
+    pos = positions(system.stack)
+
+    if ft == "angle":
+        epl = paraxial.EPL(system)
+        if system.cfg.obj_infinite:
+            epd = paraxial.EPD(system)
+            offset = _starting_z_offset(system)
+            x = -jnp.tan(jnp.radians(field_x)) * (offset + epl)
+            y = -jnp.tan(jnp.radians(field_y)) * (offset + epl)
+            z = pos[1] - offset
+            x0 = Px * epd / 2 * vx + x
+            y0 = Py * epd / 2 * vy + y
+            z0 = jnp.full_like(Px, z)
+        else:
+            z0 = jnp.broadcast_to(pos[0], Px.shape)
+            x0 = jnp.broadcast_to(
+                -jnp.tan(jnp.radians(field_x)) * (epl - pos[0]), Px.shape
+            )
+            y0 = jnp.broadcast_to(
+                -jnp.tan(jnp.radians(field_y)) * (epl - pos[0]), Px.shape
+            )
+        return x0, y0, z0
+
+    if ft == "object_height":
+        if system.cfg.obj_infinite:
+            raise ValueError(
+                'Field type "object_height" is invalid for an object at infinity.'
+            )
+        from optiland_tpu.core import geometry as geom
+
+        x0 = jnp.broadcast_to(field_x, Px.shape)
+        y0 = jnp.broadcast_to(field_y, Px.shape)
+        sag = geom.sag_static(
+            system.cfg.geom_codes[0],
+            system.stack.radius[0],
+            system.stack.conic[0],
+            system.stack.coeffs[0],
+            x0,
+            y0,
+        )
+        z0 = sag + pos[0]
+        return x0, y0, z0
+
+    raise NotImplementedError(f"Field type {ft} not yet supported")
+
+
+def aim_rays_paraxial(system: System, Hx, Hy, Px, Py):
+    """Paraxial ray aiming at the entrance pupil
+    (reference: rays/ray_aiming/paraxial.py:33-106)."""
+    Hx = jnp.atleast_1d(Hx)
+    Hy = jnp.atleast_1d(Hy)
+    Px = jnp.atleast_1d(Px)
+    Py = jnp.atleast_1d(Py)
+
+    vxf, vyf = get_vig_factor(system, Hx, Hy)
+    vx = 1 - vxf
+    vy = 1 - vyf
+
+    x0, y0, z0 = get_ray_origins(system, Hx, Hy, Px, Py, vx, vy)
+
+    if system.cfg.obj_telecentric:
+        sin = system.aperture_value
+        z = jnp.sqrt(1 - sin**2) / sin + z0
+        z1 = z
+        x1 = Px * vx + x0
+        y1 = Py * vy + y0
+    else:
+        epl = paraxial.EPL(system)
+        epd = paraxial.EPD(system)
+        x1 = Px * epd * vx / 2
+        y1 = Py * epd * vy / 2
+        z1 = jnp.full_like(Px, epl)
+
+    mag = jnp.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2 + (z1 - z0) ** 2)
+    is_zero = mag < 1e-9
+    mag = jnp.where(is_zero, 1.0, mag)
+    L = jnp.where(is_zero, 0.0, (x1 - x0) / mag)
+    M = jnp.where(is_zero, 0.0, (y1 - y0) / mag)
+    N = jnp.where(is_zero, 1.0, (z1 - z0) / mag)
+    return x0, y0, z0, L, M, N
+
+
+def generate_rays(system: System, Hx, Hy, Px, Py, wavelength) -> RealRays:
+    """Generate a launch bundle for tracing
+    (reference: rays/ray_generator.py:47-99)."""
+    x0, y0, z0, L, M, N = aim_rays_paraxial(system, Hx, Hy, Px, Py)
+    intensity = jnp.ones_like(jnp.atleast_1d(Px))
+    wl = jnp.ones_like(x0) * wavelength
+    return RealRays.create(x0, y0, z0, L, M, N, intensity, wl)

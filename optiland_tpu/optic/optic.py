@@ -1,0 +1,499 @@
+"""User-facing Optic builder with a reference-compatible API.
+
+The mutable builder mirrors the reference's construction UX
+(reference: optiland/optic/optic.py:59-817, surfaces/surface_group.py:259-337):
+``surfaces.add(...)``, ``set_aperture``, ``fields.add``, ``wavelengths.add``,
+``optic.trace(...)``, ``optic.paraxial.f2()``. Unlike the reference, the
+builder is only a description: it compiles down to an immutable
+:class:`optiland_tpu.core.system.System` pytree (cached, invalidated on
+mutation), and every computation is a jitted pure function of that pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optiland_tpu.core import geometry as geom
+from optiland_tpu.core import paraxial as paraxial_core
+from optiland_tpu.core import raygen, trace as trace_core
+from optiland_tpu.core.distributions import BaseDistribution, create_distribution
+from optiland_tpu.core.system import SurfaceStack, System, SystemConfig
+from optiland_tpu.materials import AIR, BaseMaterial, dispersion, resolve_material
+
+_GEOM_CODES = {
+    "standard": geom.STANDARD,
+    "plane": geom.PLANE,
+    "even_asphere": geom.EVEN_ASPHERE,
+    "odd_asphere": geom.ODD_ASPHERE,
+}
+
+
+@dataclasses.dataclass
+class SurfaceDef:
+    """Mutable builder record for one surface."""
+
+    radius: float = np.inf
+    thickness: float = 0.0
+    conic: float = 0.0
+    material: Any = "air"
+    is_stop: bool = False
+    surface_type: str = "standard"
+    coefficients: tuple = ()
+    dx: float = 0.0
+    dy: float = 0.0
+    rx: float = 0.0
+    ry: float = 0.0
+    rz: float = 0.0
+    aperture: float | None = None  # physical semi-diameter via diameter value
+    comment: str = ""
+
+    # resolved at compile time
+    _material_obj: BaseMaterial | None = None
+    _is_reflective: bool = False
+
+
+class SurfaceGroup:
+    """Ordered list of surface definitions with a reference-style add API."""
+
+    def __init__(self, optic: "Optic"):
+        self._optic = optic
+        self.surfaces: list[SurfaceDef] = []
+
+    def add(
+        self,
+        index: int | None = None,
+        radius: float = np.inf,
+        thickness: float = 0.0,
+        conic: float = 0.0,
+        material: Any = "air",
+        is_stop: bool = False,
+        surface_type: str = "standard",
+        coefficients=(),
+        dx: float = 0.0,
+        dy: float = 0.0,
+        rx: float = 0.0,
+        ry: float = 0.0,
+        rz: float = 0.0,
+        aperture: float | None = None,
+        comment: str = "",
+        **kwargs,
+    ):
+        """Add a surface (reference parity: surface_group.py:259-337)."""
+        sd = SurfaceDef(
+            radius=radius,
+            thickness=thickness,
+            conic=conic,
+            material=material,
+            is_stop=is_stop,
+            surface_type=surface_type,
+            coefficients=tuple(np.ravel(coefficients)) if len(np.ravel(coefficients)) else (),
+            dx=dx,
+            dy=dy,
+            rx=rx,
+            ry=ry,
+            rz=rz,
+            aperture=aperture,
+            comment=comment,
+        )
+        if index is None:
+            index = len(self.surfaces)
+        self.surfaces.insert(index, sd)
+        self._optic._invalidate()
+        return sd
+
+    def __len__(self):
+        return len(self.surfaces)
+
+    def __getitem__(self, i):
+        return self.surfaces[i]
+
+    @property
+    def stop_index(self) -> int:
+        for i, s in enumerate(self.surfaces):
+            if s.is_stop:
+                return i
+        return 1
+
+    @property
+    def num_surfaces(self) -> int:
+        return len(self.surfaces)
+
+
+@dataclasses.dataclass
+class Field:
+    x: float = 0.0
+    y: float = 0.0
+    vx: float = 0.0
+    vy: float = 0.0
+
+
+class FieldGroup:
+    """Field list with type registry (reference: fields/field_group.py:21)."""
+
+    def __init__(self, optic: "Optic"):
+        self._optic = optic
+        self.fields: list[Field] = []
+        self.field_type = "angle"
+        self.telecentric = False
+
+    def set_type(self, field_type=None, **kwargs):
+        if field_type is None:
+            field_type = kwargs.pop("type", None)
+        self.field_type = field_type
+        self._optic._invalidate()
+
+    def add(self, x: float = 0.0, y: float = 0.0, vx: float = 0.0, vy: float = 0.0):
+        self.fields.append(Field(x=x, y=y, vx=vx, vy=vy))
+        self._optic._invalidate()
+
+    def set_telecentric(self, telecentric: bool):
+        self.telecentric = telecentric
+        self._optic._invalidate()
+
+    @property
+    def x_fields(self):
+        return np.array([f.x for f in self.fields])
+
+    @property
+    def y_fields(self):
+        return np.array([f.y for f in self.fields])
+
+    @property
+    def max_field(self):
+        if not self.fields:
+            return 0.0
+        return float(np.max(np.sqrt(self.x_fields**2 + self.y_fields**2)))
+
+    @property
+    def max_y_field(self):
+        return float(np.max(self.y_fields))
+
+    @property
+    def num_fields(self):
+        return len(self.fields)
+
+    def get_field_coords(self):
+        m = self.max_field
+        if m == 0:
+            return [(0.0, 0.0)]
+        return [(float(f.x / m), float(f.y / m)) for f in self.fields]
+
+
+@dataclasses.dataclass
+class Wavelength:
+    value: float
+    is_primary: bool = False
+
+
+class WavelengthGroup:
+    """Wavelength list (reference: wavelength.py:23-367). Values in um."""
+
+    def __init__(self, optic: "Optic"):
+        self._optic = optic
+        self.wavelengths: list[Wavelength] = []
+
+    def add(self, value: float, is_primary: bool = False, unit: str = "um"):
+        scale = {"nm": 1e-3, "um": 1.0, "mm": 1e3}[unit]
+        self.wavelengths.append(Wavelength(value * scale, is_primary))
+        self._optic._invalidate()
+
+    @property
+    def primary_index(self) -> int:
+        for i, w in enumerate(self.wavelengths):
+            if w.is_primary:
+                return i
+        return 0
+
+    @property
+    def primary_wavelength(self) -> float:
+        return self.wavelengths[self.primary_index].value
+
+    def get_wavelengths(self):
+        return [w.value for w in self.wavelengths]
+
+    @property
+    def num_wavelengths(self):
+        return len(self.wavelengths)
+
+
+class Aperture:
+    def __init__(self, ap_type: str, value: float):
+        self.ap_type = ap_type
+        self.value = value
+
+
+class ParaxialView:
+    """Paraxial property accessor mirroring reference Paraxial
+    (reference: paraxial.py:32)."""
+
+    def __init__(self, optic: "Optic"):
+        self._optic = optic
+
+    def _call(self, fn):
+        return fn(self._optic.system)
+
+    def __getattr__(self, name):
+        fn = getattr(paraxial_core, name, None)
+        if fn is None or name.startswith("_"):
+            raise AttributeError(name)
+        return functools.partial(_jitted_paraxial, name, self._optic.system)
+
+    def trace_generic(self, y, u, z, wavelength=None, reverse=False, skip=0):
+        return paraxial_core.trace_generic(
+            self._optic.system, y, u, z, wavelength, reverse=reverse, skip=skip
+        )
+
+
+@functools.lru_cache(maxsize=256)
+def _paraxial_jit(name):
+    return jax.jit(getattr(paraxial_core, name))
+
+
+def _jitted_paraxial(name, system):
+    return _paraxial_jit(name)(system)
+
+
+@functools.lru_cache(maxsize=32)
+def _trace_jit():
+    def run(system, Hx, Hy, Px, Py, wavelength, record):
+        rays = raygen.generate_rays(system, Hx, Hy, Px, Py, wavelength)
+        return trace_core.trace(system, rays, record=record)
+
+    return jax.jit(run, static_argnames=("record",))
+
+
+class TraceResult:
+    """Result bundle mimicking the reference's traced RealRays + recorded
+    surface history (reference: surfaces/surface_group.py:108-153)."""
+
+    def __init__(self, final, history):
+        self.rays = final
+        self.history = history
+        for name in ("x", "y", "z", "L", "M", "N", "opd", "w"):
+            setattr(self, name, getattr(final, name))
+        self.i = final.i
+        self.intensity = final.i
+
+    def __repr__(self):
+        return f"TraceResult({self.x.shape[0]} rays)"
+
+
+class Optic:
+    """Top-level optical system builder and interface."""
+
+    def __init__(self, name: str | None = None):
+        self.name = name
+        self.surfaces = SurfaceGroup(self)
+        self.fields = FieldGroup(self)
+        self.wavelengths = WavelengthGroup(self)
+        self.aperture: Aperture | None = None
+        self.polarization = "ignore"
+        self.obj_space_telecentric = False
+        self._system_cache: System | None = None
+
+    # ---------------- configuration API ----------------
+
+    def add_surface(self, **kwargs):
+        return self.surfaces.add(**kwargs)
+
+    def set_aperture(self, aperture_type: str, value: float):
+        """Set the system aperture (reference: optic/optic.py:322-331)."""
+        if aperture_type not in ("EPD", "imageFNO", "objectNA", "float_by_stop_size"):
+            raise ValueError(f"Unknown aperture type {aperture_type}")
+        self.aperture = Aperture(aperture_type, value)
+        self._invalidate()
+
+    def set_field_type(self, field_type: str):
+        self.fields.set_type(field_type)
+
+    def _invalidate(self):
+        self._system_cache = None
+
+    # ---------------- compilation ----------------
+
+    @property
+    def object_surface(self) -> SurfaceDef:
+        return self.surfaces.surfaces[0]
+
+    @property
+    def image_surface(self) -> SurfaceDef:
+        return self.surfaces.surfaces[-1]
+
+    @property
+    def primary_wavelength(self) -> float:
+        return self.wavelengths.primary_wavelength
+
+    @property
+    def system(self) -> System:
+        """Compile (or fetch cached) the immutable system pytree."""
+        if self._system_cache is None:
+            self._system_cache = self._compile()
+        return self._system_cache
+
+    def _compile(self) -> System:
+        surfs = self.surfaces.surfaces
+        if len(surfs) < 3:
+            raise ValueError("System needs at least object, one surface, image.")
+        S = len(surfs)
+
+        # Resolve materials; mirror => reflective with unchanged medium.
+        prev_mat = AIR
+        for s in surfs:
+            spec = s.material
+            if isinstance(spec, str) and spec.lower() == "mirror":
+                s._is_reflective = True
+                s._material_obj = prev_mat
+            else:
+                s._is_reflective = False
+                s._material_obj = resolve_material(spec)
+            prev_mat = s._material_obj
+
+        dt = jnp.result_type(float)
+        max_nc = max([len(s.coefficients) for s in surfs] + [1])
+        mats = [s._material_obj for s in surfs]
+        max_nt = max([m.n_table.shape[0] for m in mats] + [0])
+        max_kt = max([m.k_table.shape[0] for m in mats] + [0])
+
+        def pad_table(tab, n):
+            if n == 0:
+                return np.zeros((0, 2))
+            if tab.shape[0] == 0:
+                # benign placeholder: flat zeros over a dummy range
+                out = np.zeros((n, 2))
+                out[:, 0] = np.linspace(0.1, 20.0, n)
+                return out
+            out = np.vstack([tab, np.repeat(tab[-1:], n - tab.shape[0], axis=0)])
+            return out
+
+        radius = np.array([float(s.radius) for s in surfs])
+        geom_code = []
+        for s in surfs:
+            st = s.surface_type or "standard"
+            code = _GEOM_CODES.get(st)
+            if code is None:
+                raise NotImplementedError(f"surface_type {st!r} not yet supported")
+            if code == geom.STANDARD and np.isinf(s.radius):
+                code = geom.PLANE
+            geom_code.append(code)
+
+        coeffs = np.zeros((S, max_nc))
+        for i, s in enumerate(surfs):
+            if s.coefficients:
+                coeffs[i, : len(s.coefficients)] = s.coefficients
+
+        stack = SurfaceStack(
+            radius=jnp.asarray(radius, dt),
+            conic=jnp.asarray([float(s.conic) for s in surfs], dt),
+            coeffs=jnp.asarray(coeffs, dt),
+            thickness=jnp.asarray([float(s.thickness) for s in surfs], dt),
+            dx=jnp.asarray([float(s.dx) for s in surfs], dt),
+            dy=jnp.asarray([float(s.dy) for s in surfs], dt),
+            rx=jnp.asarray([float(s.rx) for s in surfs], dt),
+            ry=jnp.asarray([float(s.ry) for s in surfs], dt),
+            rz=jnp.asarray([float(s.rz) for s in surfs], dt),
+            ap_max=jnp.asarray(
+                [np.inf if s.aperture is None else float(s.aperture) / 2 for s in surfs],
+                dt,
+            ),
+            mat_coeffs=jnp.stack([jnp.asarray(m.padded_coefficients, dt) for m in mats]),
+            ntab=jnp.asarray(
+                np.stack([pad_table(m.n_table, max_nt) for m in mats]), dt
+            ),
+            ktab=jnp.asarray(
+                np.stack([pad_table(m.k_table, max_kt) for m in mats]), dt
+            ),
+        )
+
+        # Decenters without tilts still need the translate path; only the
+        # rotation work is gated by has_tilts.
+        has_rot = any(s.rx != 0 or s.ry != 0 or s.rz != 0 for s in surfs)
+        has_abs = any(m.has_absorption for m in mats)
+
+        if self.aperture is None:
+            raise ValueError("No aperture is defined on the optical system.")
+        if not self.wavelengths.wavelengths:
+            raise ValueError("No wavelengths defined on the optical system.")
+        if not self.fields.fields:
+            raise ValueError("No fields defined on the optical system.")
+
+        cfg = SystemConfig(
+            num_surfaces=S,
+            stop_index=self.surfaces.stop_index,
+            obj_infinite=bool(np.isinf(surfs[0].thickness)),
+            geom_codes=tuple(geom_code),
+            mat_formulas=tuple(int(m.formula_code) for m in mats),
+            reflective=tuple(bool(s._is_reflective) for s in surfs),
+            has_tilts=has_rot,
+            has_absorption=has_abs,
+            aperture_type=self.aperture.ap_type,
+            field_type=self.fields.field_type,
+            primary_index=self.wavelengths.primary_index,
+            obj_telecentric=self.obj_space_telecentric,
+        )
+
+        return System(
+            stack=stack,
+            aperture_value=jnp.asarray(self.aperture.value, dt),
+            field_x=jnp.asarray(self.fields.x_fields, dt),
+            field_y=jnp.asarray(self.fields.y_fields, dt),
+            vig_x=jnp.asarray([f.vx for f in self.fields.fields], dt),
+            vig_y=jnp.asarray([f.vy for f in self.fields.fields], dt),
+            wavelengths=jnp.asarray(self.wavelengths.get_wavelengths(), dt),
+            cfg=cfg,
+        )
+
+    # ---------------- tracing ----------------
+
+    @property
+    def paraxial(self) -> ParaxialView:
+        return ParaxialView(self)
+
+    def trace(
+        self,
+        Hx=0.0,
+        Hy=0.0,
+        wavelength=None,
+        num_rays: int = 100,
+        distribution="hexapolar",
+        record: bool = True,
+    ) -> TraceResult:
+        """Trace a pupil distribution of real rays
+        (reference: raytrace/real_ray_tracer.py:58-118)."""
+        if wavelength is None:
+            wavelength = self.primary_wavelength
+        if isinstance(distribution, str):
+            distribution = create_distribution(distribution)
+            distribution.generate_points(num_rays)
+        Px = np.atleast_1d(np.asarray(distribution.x, float))
+        Py = np.atleast_1d(np.asarray(distribution.y, float))
+        Hx = np.atleast_1d(np.asarray(Hx, float))
+        Hy = np.atleast_1d(np.asarray(Hy, float))
+        nf, npup = len(Hx), len(Px)
+        Hx_full = np.repeat(Hx, npup)
+        Hy_full = np.repeat(Hy, npup)
+        Px_full = np.tile(Px, nf)
+        Py_full = np.tile(Py, nf)
+        final, history = _trace_jit()(
+            self.system, Hx_full, Hy_full, Px_full, Py_full, wavelength, record
+        )
+        return TraceResult(final, history)
+
+    def trace_generic(self, Hx, Hy, Px, Py, wavelength, record: bool = True):
+        """Trace rays at explicit field/pupil coordinates
+        (reference: raytrace/real_ray_tracer.py:120+)."""
+        Hx, Hy, Px, Py = np.broadcast_arrays(
+            np.atleast_1d(np.asarray(Hx, float)),
+            np.atleast_1d(np.asarray(Hy, float)),
+            np.atleast_1d(np.asarray(Px, float)),
+            np.atleast_1d(np.asarray(Py, float)),
+        )
+        final, history = _trace_jit()(
+            self.system, Hx, Hy, Px, Py, wavelength, record
+        )
+        return TraceResult(final, history)

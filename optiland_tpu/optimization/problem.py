@@ -1,0 +1,155 @@
+"""Optimization problem: operands + variables -> jitted merit function.
+
+The reference's OptimizationProblem mutates the optic on every evaluation
+(reference: optiland/optimization/problem.py:27-367). Here the problem
+compiles to a pure scalar function of the optimizer vector: variables map
+x into an updated system pytree, operands evaluate on it, and
+jax.value_and_grad supplies exact gradients — replacing both the
+reference's finite-difference SciPy path and its torch autograd path. The
+reference's BatchedRayEvaluator (batched_evaluator.py:277+) is unnecessary:
+XLA fuses all operand traces in one compiled program by construction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optiland_tpu.optimization.operands import Operand
+from optiland_tpu.optimization.variables import Variable
+
+
+class OptimizationProblem:
+    """A merit function built from operands and variables."""
+
+    def __init__(self, optic=None):
+        self.optic = optic
+        self.operands: list[Operand] = []
+        self.variables: list[Variable] = []
+        self._fns = None
+
+    def add_operand(
+        self,
+        operand_type: str,
+        target=None,
+        min_val=None,
+        max_val=None,
+        weight: float = 1.0,
+        input_data: dict | None = None,
+    ):
+        """Add one merit-function term (reference: problem.py:71+)."""
+        if input_data and "optic" in input_data and self.optic is None:
+            self.optic = input_data["optic"]
+        op = Operand(operand_type, target, min_val, max_val, weight, input_data)
+        if op.target is None and op.min_val is None and op.max_val is None:
+            # Default target = current value (reference: operand.py:200-202)
+            op.target = float(op.value(self._base_system()))
+        self.operands.append(op)
+        self._fns = None
+        return op
+
+    def add_variable(self, optic, var_type: str, **kwargs):
+        """Add one optimization variable (reference: problem.py:100+)."""
+        if self.optic is None:
+            self.optic = optic
+        self.variables.append(Variable(optic, var_type, **kwargs))
+        self._fns = None
+
+    def clear_operands(self):
+        self.operands = []
+        self._fns = None
+
+    def clear_variables(self):
+        self.variables = []
+        self._fns = None
+
+    # ------------------------------------------------------------------
+
+    def _base_system(self):
+        return self.optic.system
+
+    def apply_variables(self, system, x):
+        """Pure function mapping optimizer vector x into a system."""
+        for i, var in enumerate(self.variables):
+            system = var.apply(system, x[i])
+        return system
+
+    def initial_x(self) -> np.ndarray:
+        system = self._base_system()
+        return np.array(
+            [v.initial_scaled_value(system) for v in self.variables]
+        )
+
+    def _build(self):
+        if self._fns is not None:
+            return self._fns
+        base = self._base_system()
+
+        def merit(x):
+            system = self.apply_variables(base, x)
+            total = 0.0
+            for op in self.operands:
+                total = total + op.fun(system)
+            return total
+
+        def residuals(x):
+            system = self.apply_variables(base, x)
+            return jnp.stack(
+                [jnp.sqrt(op.weight) * op.delta(system) for op in self.operands]
+            )
+
+        self._fns = {
+            "merit": jax.jit(merit),
+            "grad": jax.jit(jax.grad(merit)),
+            "value_and_grad": jax.jit(jax.value_and_grad(merit)),
+            "residuals": jax.jit(residuals),
+            "res_jac": jax.jit(jax.jacrev(residuals)),
+        }
+        return self._fns
+
+    # Reference-compatible evaluation API ------------------------------
+
+    def fun_array(self, x=None):
+        x = self.initial_x() if x is None else x
+        system = self.apply_variables(self._base_system(), jnp.asarray(x))
+        return jnp.stack([op.fun(system) for op in self.operands])
+
+    def sum_squared(self, x=None):
+        """Merit value: sum of weighted squared deltas
+        (reference: problem.py:199-208)."""
+        x = self.initial_x() if x is None else x
+        return self._build()["merit"](jnp.asarray(x))
+
+    def rss(self, x=None):
+        return jnp.sqrt(self.sum_squared(x))
+
+    def merit_fn(self):
+        return self._build()["merit"]
+
+    def value_and_grad_fn(self):
+        return self._build()["value_and_grad"]
+
+    def residuals_fn(self):
+        return self._build()["residuals"]
+
+    def res_jac_fn(self):
+        return self._build()["res_jac"]
+
+    def update_optic(self, x):
+        """Write optimized values back into the Optic builder."""
+        system = self.apply_variables(self._base_system(), jnp.asarray(x))
+        surfs = self.optic.surfaces.surfaces
+        radius = np.asarray(system.stack.radius)
+        conic = np.asarray(system.stack.conic)
+        thickness = np.asarray(system.stack.thickness)
+        coeffs = np.asarray(system.stack.coeffs)
+        for i, s in enumerate(surfs):
+            s.radius = float(radius[i]) if np.isfinite(radius[i]) else np.inf
+            s.conic = float(conic[i])
+            s.thickness = (
+                float(thickness[i]) if np.isfinite(thickness[i]) else np.inf
+            )
+            if s.coefficients:
+                s.coefficients = tuple(coeffs[i, : len(s.coefficients)])
+        self.optic._invalidate()

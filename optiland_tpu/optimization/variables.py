@@ -1,0 +1,212 @@
+"""Optimization variables: named views into the system pytree.
+
+A variable identifies one scalar leaf-slot of the compiled system (e.g.
+radius of surface 2) together with a scaler and optional bounds. Variables
+compile to a pure function ``apply(system, x) -> system`` mapping an
+optimizer vector into an updated system — the functional replacement for
+the reference's mutating VariableBehavior classes
+(reference: optiland/optimization/variable/*.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from optiland_tpu.core.system import System
+from optiland_tpu.optimization.scaling import IdentityScaler, LinearScaler
+
+
+class VariableBehavior:
+    """Get/set one scalar in the system pytree."""
+
+    default_scaler = IdentityScaler
+
+    def __init__(self, surface_number: int, **kwargs):
+        self.surface_number = surface_number
+
+    def get(self, system: System):
+        raise NotImplementedError
+
+    def set(self, system: System, value):
+        raise NotImplementedError
+
+
+class RadiusVariable(VariableBehavior):
+    """Radius of curvature (reference: variable/radius.py)."""
+
+    @staticmethod
+    def default_scaler():
+        return LinearScaler(factor=1 / 100.0, offset=-1.0)
+
+    def get(self, system):
+        return system.stack.radius[self.surface_number]
+
+    def set(self, system, value):
+        stack = system.stack
+        return system.replace(
+            stack=stack.replace(
+                radius=stack.radius.at[self.surface_number].set(value)
+            )
+        )
+
+
+class ReciprocalRadiusVariable(VariableBehavior):
+    """Curvature 1/R (reference: variable/reciprocal_radius.py)."""
+
+    @staticmethod
+    def default_scaler():
+        return LinearScaler(factor=10.0)
+
+    def get(self, system):
+        r = system.stack.radius[self.surface_number]
+        return jnp.where(jnp.isinf(r), 0.0, 1.0 / r)
+
+    def set(self, system, value):
+        stack = system.stack
+        radius = jnp.where(value == 0, jnp.inf, 1.0 / jnp.where(value == 0, 1.0, value))
+        return system.replace(
+            stack=stack.replace(
+                radius=stack.radius.at[self.surface_number].set(radius)
+            )
+        )
+
+
+class ConicVariable(VariableBehavior):
+    """Conic constant (reference: variable/conic.py)."""
+
+    def get(self, system):
+        return system.stack.conic[self.surface_number]
+
+    def set(self, system, value):
+        stack = system.stack
+        return system.replace(
+            stack=stack.replace(
+                conic=stack.conic.at[self.surface_number].set(value)
+            )
+        )
+
+
+class ThicknessVariable(VariableBehavior):
+    """Axial thickness after a surface (reference: variable/thickness.py)."""
+
+    @staticmethod
+    def default_scaler():
+        return LinearScaler(factor=1 / 10.0, offset=-1.0)
+
+    def get(self, system):
+        return system.stack.thickness[self.surface_number]
+
+    def set(self, system, value):
+        stack = system.stack
+        return system.replace(
+            stack=stack.replace(
+                thickness=stack.thickness.at[self.surface_number].set(value)
+            )
+        )
+
+
+class AsphereCoeffVariable(VariableBehavior):
+    """One aspheric coefficient (reference: variable/asphere_coeff.py)."""
+
+    def __init__(self, surface_number: int, coeff_number: int = 0, **kwargs):
+        super().__init__(surface_number)
+        self.coeff_number = coeff_number
+
+    @staticmethod
+    def default_scaler():
+        return LinearScaler(factor=1e4)
+
+    def get(self, system):
+        return system.stack.coeffs[self.surface_number, self.coeff_number]
+
+    def set(self, system, value):
+        stack = system.stack
+        return system.replace(
+            stack=stack.replace(
+                coeffs=stack.coeffs.at[
+                    self.surface_number, self.coeff_number
+                ].set(value)
+            )
+        )
+
+
+class TiltVariable(VariableBehavior):
+    """Surface tilt about x or y (reference: variable/tilt.py)."""
+
+    def __init__(self, surface_number: int, axis: str = "x", **kwargs):
+        super().__init__(surface_number)
+        self.axis = axis
+
+    def get(self, system):
+        return getattr(system.stack, f"r{self.axis}")[self.surface_number]
+
+    def set(self, system, value):
+        stack = system.stack
+        field = f"r{self.axis}"
+        arr = getattr(stack, field).at[self.surface_number].set(value)
+        return system.replace(stack=stack.replace(**{field: arr}))
+
+
+class DecenterVariable(VariableBehavior):
+    """Surface decenter in x or y (reference: variable/decenter.py)."""
+
+    def __init__(self, surface_number: int, axis: str = "x", **kwargs):
+        super().__init__(surface_number)
+        self.axis = axis
+
+    def get(self, system):
+        return getattr(system.stack, f"d{self.axis}")[self.surface_number]
+
+    def set(self, system, value):
+        stack = system.stack
+        field = f"d{self.axis}"
+        arr = getattr(stack, field).at[self.surface_number].set(value)
+        return system.replace(stack=stack.replace(**{field: arr}))
+
+
+_BEHAVIORS = {
+    "radius": RadiusVariable,
+    "reciprocal_radius": ReciprocalRadiusVariable,
+    "conic": ConicVariable,
+    "thickness": ThicknessVariable,
+    "asphere_coeff": AsphereCoeffVariable,
+    "tilt": TiltVariable,
+    "decenter": DecenterVariable,
+}
+
+
+class Variable:
+    """A typed optimization variable with scaler and bounds
+    (reference: variable/variable.py:40)."""
+
+    def __init__(
+        self,
+        optic,
+        var_type: str,
+        scaler=None,
+        min_val=None,
+        max_val=None,
+        **kwargs,
+    ):
+        if var_type not in _BEHAVIORS:
+            raise ValueError(f"Unknown variable type {var_type!r}")
+        self.optic = optic
+        self.var_type = var_type
+        self.behavior = _BEHAVIORS[var_type](**kwargs)
+        if scaler is None:
+            ds = getattr(type(self.behavior), "default_scaler", IdentityScaler)
+            scaler = ds()
+        self.scaler = scaler
+        self.min_val = min_val
+        self.max_val = max_val
+
+    def initial_scaled_value(self, system) -> float:
+        return float(self.scaler.scale(self.behavior.get(system)))
+
+    def apply(self, system, scaled_value):
+        value = self.scaler.inverse_scale(scaled_value)
+        if self.min_val is not None or self.max_val is not None:
+            lo = -jnp.inf if self.min_val is None else self.min_val
+            hi = jnp.inf if self.max_val is None else self.max_val
+            value = jnp.clip(value, lo, hi)
+        return self.behavior.set(system, value)

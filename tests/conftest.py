@@ -1,0 +1,52 @@
+"""Test configuration: force CPU with 8 virtual devices and float64.
+
+Parity suites run in float64 (matching the reference's NumPy default);
+multi-chip sharding tests run on a virtual 8-device CPU mesh.
+"""
+
+import os
+
+# Force CPU: parity suites run float64, which TPU only emulates (and the
+# ambient environment may point JAX at a remote TPU via JAX_PLATFORMS).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("OPTILAND_TPU_X64", "1")
+
+import jax  # noqa: E402
+
+# A pytest plugin may have imported jax before this conftest ran, in which
+# case the env var above came too late — set the config value directly so
+# tests never touch a remote TPU backend.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    """Loader for reference-generated golden arrays."""
+
+    cache = {}
+
+    def load(name):
+        if name not in cache:
+            cache[name] = np.load(os.path.join(GOLDEN_DIR, f"{name}.npz"))
+        return cache[name]
+
+    return load
+
+
+def assert_allclose(actual, desired, rtol=1e-5, atol=1e-7):
+    """Comparison helper with the reference test suite's tolerances
+    (reference: tests/utils.py:9-23)."""
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(desired), rtol=rtol, atol=atol
+    )
