@@ -1,0 +1,39 @@
+from optiland_tpu.analysis.energy_and_focus import (
+    EncircledEnergy,
+    ThroughFocusAnalysis,
+    ThroughFocusMTF,
+    ThroughFocusSpotDiagram,
+)
+from optiland_tpu.analysis.fans_and_fields import (
+    Distortion,
+    FieldCurvature,
+    GridDistortion,
+    PupilAberration,
+    RayFan,
+    RmsSpotSizeVsField,
+    RmsWavefrontErrorVsField,
+    YYbar,
+)
+from optiland_tpu.analysis.opd import OPD, OPDFan, ZernikeOPD
+from optiland_tpu.analysis.spot import SpotDiagram, SpotData, rms_spot_size
+
+__all__ = [
+    "Distortion",
+    "EncircledEnergy",
+    "FieldCurvature",
+    "GridDistortion",
+    "OPD",
+    "OPDFan",
+    "PupilAberration",
+    "RayFan",
+    "RmsSpotSizeVsField",
+    "RmsWavefrontErrorVsField",
+    "SpotData",
+    "SpotDiagram",
+    "ThroughFocusAnalysis",
+    "ThroughFocusMTF",
+    "ThroughFocusSpotDiagram",
+    "YYbar",
+    "ZernikeOPD",
+    "rms_spot_size",
+]

@@ -1,0 +1,431 @@
+"""Field-domain analyses: ray fans, distortion, field curvature, and
+RMS-vs-field curves.
+
+Numeric semantics mirror the reference analyses
+(reference: optiland/analysis/ray_fan.py:20, distortion.py:24,
+grid_distortion.py:26, field_curvature.py:24, rms_vs_field.py:26,121,
+y_ybar.py:26, pupil_aberration.py:27).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from optiland_tpu.analysis.base import BaseAnalysis
+
+
+class RayFan(BaseAnalysis):
+    """Transverse ray aberration fans (reference: analysis/ray_fan.py:20)."""
+
+    def __init__(self, optic, fields="all", wavelengths="all", num_points=256):
+        # odd number of points so the chief ray is sampled
+        self.num_points = num_points if num_points % 2 == 1 else num_points + 1
+        if fields == "all":
+            fields = optic.fields.get_field_coords()
+        self.fields = fields
+        super().__init__(optic, wavelengths)
+
+    def _generate_data(self):
+        data = {
+            "Px": np.linspace(-1, 1, self.num_points),
+            "Py": np.linspace(-1, 1, self.num_points),
+        }
+        for field in self.fields:
+            Hx, Hy = field
+            fkey = f"{tuple(field)}"
+            data[fkey] = {}
+            for wl in self.wavelengths:
+                rays_x = self.optic.trace(
+                    Hx=Hx, Hy=Hy, wavelength=wl,
+                    num_rays=self.num_points, distribution="line_x",
+                )
+                rays_y = self.optic.trace(
+                    Hx=Hx, Hy=Hy, wavelength=wl,
+                    num_rays=self.num_points, distribution="line_y",
+                )
+                data[fkey][f"{wl}"] = {
+                    "x": np.asarray(rays_x.x),
+                    "intensity_x": np.asarray(rays_x.i),
+                    "y": np.asarray(rays_y.y),
+                    "intensity_y": np.asarray(rays_y.i),
+                }
+        return self._remove_distortion(data)
+
+    def _remove_distortion(self, data):
+        """Offset each fan by the primary-wavelength chief-ray intercept
+        (reference: ray_fan.py:161-203)."""
+        wave_ref = self.optic.primary_wavelength
+        c = self.num_points // 2
+        for field in self.fields:
+            fkey = f"{tuple(field)}"
+            ref = data[fkey][f"{wave_ref}"]
+            ix, iy = ref["intensity_x"], ref["intensity_y"]
+            x_off = (
+                ref["x"][c] if ix[c] > 0
+                else np.mean(ref["x"][ix > 0]) if (ix > 0).any() else 0.0
+            )
+            y_off = (
+                ref["y"][c] if iy[c] > 0
+                else np.mean(ref["y"][iy > 0]) if (iy > 0).any() else 0.0
+            )
+            for wl in self.wavelengths:
+                d = data[fkey][f"{wl}"]
+                d["x"] = d["x"] - x_off
+                d["y"] = d["y"] - y_off
+        return data
+
+    def view(self, figsize=(10, 3.33), ax=None):
+        import matplotlib.pyplot as plt
+
+        nf = len(self.fields)
+        fig, axes = plt.subplots(
+            nf, 2, figsize=(figsize[0], figsize[1] * nf), squeeze=False
+        )
+        for i, field in enumerate(self.fields):
+            fkey = f"{tuple(field)}"
+            for wl in self.wavelengths:
+                d = self.data[fkey][f"{wl}"]
+                ey = np.where(d["intensity_y"] > 0, d["y"], np.nan)
+                ex = np.where(d["intensity_x"] > 0, d["x"], np.nan)
+                axes[i][0].plot(self.data["Py"], ey, label=f"{wl:.4f} um")
+                axes[i][1].plot(self.data["Px"], ex, label=f"{wl:.4f} um")
+            axes[i][0].set_title(f"Hy fan, field {field}")
+            axes[i][1].set_title(f"Hx fan, field {field}")
+        axes[0][0].legend(fontsize=6)
+        fig.tight_layout()
+        return fig, axes
+
+
+class Distortion(BaseAnalysis):
+    """Distortion vs field (reference: analysis/distortion.py:24)."""
+
+    def __init__(self, optic, wavelengths="all", num_points=128,
+                 distortion_type="f-tan"):
+        self.num_points = num_points
+        self.distortion_type = distortion_type
+        super().__init__(optic, wavelengths)
+
+    def _generate_data(self):
+        Hx = np.zeros(self.num_points)
+        Hy = np.linspace(1e-10, 1, self.num_points)
+        max_field_rad = np.radians(self.optic.fields.max_field)
+        data = []
+        for wl in self.wavelengths:
+            res = self.optic.trace_generic(
+                Hx=Hx, Hy=Hy, Px=np.zeros_like(Hx), Py=np.zeros_like(Hx),
+                wavelength=wl,
+            )
+            yr = np.asarray(res.y)
+            const = yr[0] / np.tan(1e-10 * max_field_rad)
+            if self.distortion_type == "f-tan":
+                yp = const * np.tan(Hy * max_field_rad)
+            elif self.distortion_type == "f-theta":
+                yp = const * Hy * max_field_rad
+            else:
+                raise ValueError('Distortion type must be "f-tan" or "f-theta"')
+            data.append(100 * (yr - yp) / yp)
+        return data
+
+    def view(self, figsize=(7, 5.5), ax=None):
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig = ax.figure
+        field = np.linspace(1e-10, self.optic.fields.max_field, self.num_points)
+        for k, wl in enumerate(self.wavelengths):
+            ax.plot(np.asarray(self.data[k]), field, label=f"{wl:.4f} um")
+        ax.axvline(0, color="k", lw=1, ls="--")
+        ax.set_xlabel("Distortion (%)")
+        ax.set_ylabel("Field")
+        ax.legend(fontsize=7)
+        return fig, ax
+
+
+class GridDistortion(BaseAnalysis):
+    """Distortion of a rectangular field grid
+    (reference: analysis/grid_distortion.py:26)."""
+
+    def __init__(self, optic, wavelength="primary", num_points=10,
+                 distortion_type="f-tan"):
+        if wavelength == "primary":
+            wavelength = optic.primary_wavelength
+        self.wavelength = wavelength
+        self.num_points = num_points
+        self.distortion_type = distortion_type
+        super().__init__(optic, [wavelength])
+
+    def _generate_data(self):
+        extent = 1 / np.sqrt(2)
+        H = np.linspace(-extent, extent, self.num_points)
+        Hx, Hy = np.meshgrid(H, H)
+        res = self.optic.trace_generic(
+            Hx=Hx.ravel(), Hy=Hy.ravel(),
+            Px=np.zeros(Hx.size), Py=np.zeros(Hx.size),
+            wavelength=self.wavelength,
+        )
+        xr = np.asarray(res.x).reshape(Hx.shape)
+        yr = np.asarray(res.y).reshape(Hy.shape)
+
+        max_field = np.radians(self.optic.fields.max_field * extent)
+        if self.distortion_type == "f-tan":
+            const = yr[-1, self.num_points // 2] / np.tan(max_field)
+            xp = const * np.tan(np.radians(self.optic.fields.max_field) * Hx)
+            yp = const * np.tan(np.radians(self.optic.fields.max_field) * Hy)
+        elif self.distortion_type == "f-theta":
+            const = yr[-1, self.num_points // 2] / max_field
+            xp = const * np.radians(self.optic.fields.max_field) * Hx
+            yp = const * np.radians(self.optic.fields.max_field) * Hy
+        else:
+            raise ValueError('Distortion type must be "f-tan" or "f-theta"')
+        delta = np.hypot(xr - xp, yr - yp)
+        denom = np.hypot(xp, yp)
+        denom = np.where(denom == 0, 1.0, denom)
+        return {
+            "xr": xr, "yr": yr, "xp": xp, "yp": yp,
+            "max_distortion": float(np.max(100 * delta / denom)),
+        }
+
+    def view(self, figsize=(7, 5.5), ax=None):
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig = ax.figure
+        d = self.data
+        ax.plot(d["xp"], d["yp"], "k", lw=0.5)
+        ax.plot(d["xp"].T, d["yp"].T, "k", lw=0.5)
+        ax.plot(d["xr"], d["yr"], "C3", lw=0.7)
+        ax.plot(d["xr"].T, d["yr"].T, "C3", lw=0.7)
+        ax.set_title(f"Max distortion {d['max_distortion']:.3f}%")
+        ax.set_aspect("equal")
+        return fig, ax
+
+
+class FieldCurvature(BaseAnalysis):
+    """Tangential/sagittal parabasal focal surfaces
+    (reference: analysis/field_curvature.py:24)."""
+
+    def __init__(self, optic, wavelengths="all", num_points=128):
+        self.num_points = num_points
+        super().__init__(optic, wavelengths)
+
+    def _generate_data(self):
+        data = []
+        for wl in self.wavelengths:
+            data.append([
+                self._parabasal(wl, tangential=True),
+                self._parabasal(wl, tangential=False),
+            ])
+        return data
+
+    def _parabasal(self, wavelength, tangential: bool, delta=1e-5):
+        n = self.num_points
+        Hx = np.zeros(2 * n)
+        Hy = np.repeat(np.linspace(0, 1, n), 2)
+        if tangential:
+            Px = np.zeros(2 * n)
+            Py = np.tile([-delta, delta], n)
+        else:
+            Px = np.tile([-delta, delta], n)
+            Py = np.zeros(2 * n)
+        res = self.optic.trace_generic(Hx, Hy, Px, Py, wavelength=wavelength)
+        if tangential:
+            A1, N1 = np.asarray(res.M)[::2], np.asarray(res.N)[::2]
+            A2, N2 = np.asarray(res.M)[1::2], np.asarray(res.N)[1::2]
+            c01, z01 = np.asarray(res.y)[::2], np.asarray(res.z)[::2]
+            c02, z02 = np.asarray(res.y)[1::2], np.asarray(res.z)[1::2]
+        else:
+            A1, N1 = np.asarray(res.L)[::2], np.asarray(res.N)[::2]
+            A2, N2 = np.asarray(res.L)[1::2], np.asarray(res.N)[1::2]
+            c01, z01 = np.asarray(res.x)[::2], np.asarray(res.z)[::2]
+            c02, z02 = np.asarray(res.x)[1::2], np.asarray(res.z)[1::2]
+        t = (A2 * z01 - A2 * z02 - N2 * c01 + N2 * c02) / (A1 * N2 - A2 * N1)
+        return t * N1
+
+    def view(self, figsize=(8, 5.5), ax=None):
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig = ax.figure
+        field = np.linspace(0, self.optic.fields.max_field, self.num_points)
+        for k, wl in enumerate(self.wavelengths):
+            ax.plot(self.data[k][0], field, f"C{k}-", label=f"{wl:.4f} um T")
+            ax.plot(self.data[k][1], field, f"C{k}--", label=f"{wl:.4f} um S")
+        ax.set_xlabel("Focal shift (mm)")
+        ax.set_ylabel("Field")
+        ax.legend(fontsize=7)
+        return fig, ax
+
+
+class RmsSpotSizeVsField(BaseAnalysis):
+    """RMS spot size against field height (reference: rms_vs_field.py:26)."""
+
+    def __init__(self, optic, num_fields=64, wavelengths="all", num_rings=6,
+                 distribution="hexapolar"):
+        self.num_fields = num_fields
+        self.num_rings = num_rings
+        self.distribution = distribution
+        super().__init__(optic, wavelengths)
+
+    def _generate_data(self):
+        from optiland_tpu.analysis.spot import SpotDiagram
+
+        Hy = np.linspace(0, 1, self.num_fields)
+        fields = [(0.0, h) for h in Hy]
+        sd = SpotDiagram(
+            self.optic, fields=fields, wavelengths=self.wavelengths,
+            num_rings=self.num_rings, distribution=self.distribution,
+        )
+        return {
+            "Hy": Hy,
+            "rms": np.array(sd.rms_spot_radius()),  # (F, W)
+        }
+
+    def view(self, figsize=(7, 4.5), ax=None):
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig = ax.figure
+        field = self.data["Hy"] * self.optic.fields.max_field
+        for k, wl in enumerate(self.wavelengths):
+            ax.plot(field, self.data["rms"][:, k], label=f"{wl:.4f} um")
+        ax.set_xlabel("Field")
+        ax.set_ylabel("RMS spot size (mm)")
+        ax.legend(fontsize=7)
+        return fig, ax
+
+
+class RmsWavefrontErrorVsField(BaseAnalysis):
+    """RMS wavefront error against field height
+    (reference: rms_vs_field.py:121)."""
+
+    def __init__(self, optic, num_fields=32, wavelengths="all", num_rays=12,
+                 distribution="hexapolar"):
+        self.num_fields = num_fields
+        self.num_rays = num_rays
+        self.distribution = distribution
+        super().__init__(optic, wavelengths)
+
+    def _generate_data(self):
+        from optiland_tpu.wavefront import Wavefront
+
+        Hy = np.linspace(0, 1, self.num_fields)
+        fields = [(0.0, h) for h in Hy]
+        wf = Wavefront(
+            self.optic, fields=fields, wavelengths=self.wavelengths,
+            num_rays=self.num_rays, distribution=self.distribution,
+        )
+        rms = np.zeros((self.num_fields, len(self.wavelengths)))
+        for i, f in enumerate(fields):
+            for k, wl in enumerate(self.wavelengths):
+                d = wf.get_data(f, wl)
+                w = np.asarray(d.intensity) > 0
+                opd = np.asarray(d.opd)[w]
+                rms[i, k] = np.sqrt(np.mean(opd**2))
+        return {"Hy": Hy, "rms": rms}
+
+    def view(self, figsize=(7, 4.5), ax=None):
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig = ax.figure
+        field = self.data["Hy"] * self.optic.fields.max_field
+        for k, wl in enumerate(self.wavelengths):
+            ax.plot(field, self.data["rms"][:, k], label=f"{wl:.4f} um")
+        ax.set_xlabel("Field")
+        ax.set_ylabel("RMS wavefront error (waves)")
+        ax.legend(fontsize=7)
+        return fig, ax
+
+
+class YYbar(BaseAnalysis):
+    """Marginal vs chief ray height diagram (reference: y_ybar.py:26)."""
+
+    def __init__(self, optic, wavelength="primary"):
+        if wavelength == "primary":
+            wavelength = optic.primary_wavelength
+        self.wavelength = wavelength
+        super().__init__(optic, [wavelength])
+
+    def _generate_data(self):
+        ya, _ = self.optic.paraxial.marginal_ray()
+        yb, _ = self.optic.paraxial.chief_ray()
+        return {"y": np.ravel(np.asarray(ya)), "ybar": np.ravel(np.asarray(yb))}
+
+    def view(self, figsize=(7, 5.5), ax=None):
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig = ax.figure
+        ax.plot(self.data["ybar"], self.data["y"], "o-")
+        ax.set_xlabel("Chief ray height (ybar)")
+        ax.set_ylabel("Marginal ray height (y)")
+        return fig, ax
+
+
+class PupilAberration(BaseAnalysis):
+    """Real vs paraxial entrance pupil mismatch
+    (reference: pupil_aberration.py:27)."""
+
+    def __init__(self, optic, fields="all", wavelengths="all", num_points=128):
+        self.num_points = num_points if num_points % 2 == 1 else num_points + 1
+        if fields == "all":
+            fields = optic.fields.get_field_coords()
+        self.fields = fields
+        super().__init__(optic, wavelengths)
+
+    def _generate_data(self):
+        from optiland_tpu.core import paraxial as px
+        from optiland_tpu.core.system import positions
+
+        system = self.optic.system
+        stop_idx = system.cfg.stop_index
+        data = {}
+        Py = np.linspace(-1, 1, self.num_points)
+        for field in self.fields:
+            fkey = f"{tuple(field)}"
+            data[fkey] = {}
+            for wl in self.wavelengths:
+                res = self.optic.trace(
+                    Hx=field[0], Hy=field[1], wavelength=wl,
+                    num_rays=self.num_points, distribution="line_y",
+                )
+                # stop-surface intercept from history
+                y_stop = np.asarray(res.history["y"])[stop_idx]
+                semi = np.max(np.abs(y_stop))
+                semi = semi if semi > 0 else 1.0
+                real = y_stop / semi
+                data[fkey][f"{wl}"] = {
+                    "Py": Py,
+                    "error_y": 100 * (Py - real),
+                }
+        return data
+
+    def view(self, figsize=(7, 4.5), ax=None):
+        import matplotlib.pyplot as plt
+
+        nf = len(self.fields)
+        fig, axes = plt.subplots(nf, 1, figsize=(figsize[0], figsize[1] * nf),
+                                 squeeze=False)
+        for i, field in enumerate(self.fields):
+            fkey = f"{tuple(field)}"
+            for wl in self.wavelengths:
+                d = self.data[fkey][f"{wl}"]
+                axes[i][0].plot(d["Py"], d["error_y"], label=f"{wl:.4f} um")
+            axes[i][0].set_title(f"field {field}")
+            axes[i][0].set_ylabel("Pupil aberration (%)")
+        axes[0][0].legend(fontsize=7)
+        fig.tight_layout()
+        return fig, axes

@@ -1,31 +1,48 @@
 """Geometry kernels: sag, surface normal, and ray-surface intersection.
 
-Each geometry family has an integer code; per-surface dispatch inside the
-``lax.scan`` trace loop happens via ``lax.switch`` on the code, replacing
-the reference's Python polymorphism over BaseGeometry subclasses
+Each geometry family has an integer code; dispatch inside the unrolled
+trace loop is *static* (the code is part of the system structure), so each
+surface's physics compiles to a pure elementwise expression — replacing the
+reference's Python polymorphism over BaseGeometry subclasses
 (reference: optiland/geometries/base.py:15-115).
 
-All geometry functions are pure and operate on a unified parameter record:
-    radius:  scalar radius of curvature (may be inf for planes)
-    conic:   scalar conic constant
-    coeffs:  (NC,) zero-padded geometry coefficient vector (aspheres, ...)
+Unified per-surface parameter record:
+    radius:  base radius of curvature (inf for planes)
+    conic:   conic constant
+    coeffs:  (NC,) zero-padded geometry coefficient vector
+    p1, p2:  two extra scalars (second radius/conic, normalization radii...)
+    aux:     static hashable extras (e.g. zernike scheme), resolved at trace
 
-Intersection ("distance") kernels return the propagation distance t from
-the ray's current position to the surface, evaluated in the surface's local
-frame. Closed forms exist for planes and conics
-(reference: optiland/geometries/plane.py, standard.py:96-148); every other
-sag family uses damped Newton iterations from the conic initial guess
-(reference: optiland/geometries/newton_raphson.py:119-168) with a fixed
-iteration count for XLA-friendly control flow.
+Closed-form intersections exist for planes and conics (reference:
+optiland/geometries/plane.py, standard.py:96-148); every other sag family
+uses Newton iterations from the conic initial guess (reference:
+optiland/geometries/newton_raphson.py:119-168) with a fixed iteration count
+for XLA-friendly control flow. Surface normals derive from the sag by
+forward-mode autodiff (mathematically identical to the reference's analytic
+formulas for smooth sags).
+
+Family coefficient conventions (matching the reference):
+    EVEN_ASPHERE:  z += sum_i C_i r^(2i+2)            (even_asphere.py)
+    ODD_ASPHERE:   z += sum_i C_i r^(i+1)             (odd_asphere.py)
+    POLYNOMIAL_XY: z += sum_ij C[i,j] x^i y^j         (polynomial.py:105)
+                   coeffs = row-major square matrix, side = ceil(sqrt(NC))
+    CHEBYSHEV:     z += sum_ij C[i,j] T_i(x/p1) T_j(y/p2)   (chebyshev.py:126)
+    ZERNIKE_SAG:   z += sum_i c_i Z_i(r/p1, phi)      (zernike.py:55)
+    TOROIDAL:      x-rotated y-z conic + y-polynomial; radius = R_rot,
+                   p1 = R_yz, p2 = k_yz, coeffs[i] -> y^(2(i+1)) (toroidal.py)
+    BICONIC:       x/y conic sum; radius = Rx, conic = kx, p1 = Ry,
+                   p2 = ky (biconic.py:69)
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Geometry codes (stable; serialized in system pytrees)
+# Geometry codes (stable; serialized in system configs)
 PLANE = 0
 STANDARD = 1
 EVEN_ASPHERE = 2
@@ -43,38 +60,137 @@ NEWTON_ITERS = 16
 
 
 # ---------------------------------------------------------------------------
-# Sag functions: sag(radius, conic, coeffs, x, y) -> z
+# Sag functions: sag(radius, conic, coeffs, p1, p2, x, y) -> z
 # ---------------------------------------------------------------------------
 
 
-def _sag_plane(radius, conic, coeffs, x, y):
+def _sag_plane(radius, conic, coeffs, p1, p2, x, y, aux=None):
     return jnp.zeros_like(x)
 
 
-def _sag_standard(radius, conic, coeffs, x, y):
-    r2 = x**2 + y**2
-    return r2 / (radius * (1 + jnp.sqrt(1 - (1 + conic) * r2 / radius**2)))
+def _conic_sag(radius, conic, x2py2):
+    return x2py2 / (
+        radius * (1 + jnp.sqrt(1 - (1 + conic) * x2py2 / radius**2))
+    )
 
 
-def _sag_even_asphere(radius, conic, coeffs, x, y):
-    """Conic + sum_i C_i r^(2i+2) (reference: geometries/even_asphere.py)."""
+def _sag_standard(radius, conic, coeffs, p1, p2, x, y, aux=None):
+    return _conic_sag(radius, conic, x**2 + y**2)
+
+
+def _sag_even_asphere(radius, conic, coeffs, p1, p2, x, y, aux=None):
     r2 = x**2 + y**2
-    z = _sag_standard(radius, conic, coeffs, x, y)
-    # Horner evaluation in r^2: C_0 r^2 + C_1 r^4 + ... times r^2 overall
+    z = _conic_sag(radius, conic, r2)
     acc = jnp.zeros_like(x)
     for i in range(coeffs.shape[0] - 1, -1, -1):
         acc = acc * r2 + coeffs[i]
     return z + acc * r2
 
 
-def _sag_odd_asphere(radius, conic, coeffs, x, y):
-    """Conic + sum_i C_i r^(i+1) (reference: geometries/odd_asphere.py)."""
+def _sag_odd_asphere(radius, conic, coeffs, p1, p2, x, y, aux=None):
     r = jnp.sqrt(x**2 + y**2)
-    z = _sag_standard(radius, conic, coeffs, x, y)
+    z = _conic_sag(radius, conic, x**2 + y**2)
     acc = jnp.zeros_like(x)
     for i in range(coeffs.shape[0] - 1, -1, -1):
         acc = acc * r + coeffs[i]
     return z + acc * r
+
+
+def _sag_polynomial_xy(radius, conic, coeffs, p1, p2, x, y, aux=None):
+    """Conic + sum_ij C[i,j] x^i y^j (reference: polynomial.py:105-121)."""
+    z = _conic_sag(radius, conic, x**2 + y**2)
+    side = int(math.isqrt(coeffs.shape[0]))
+    if side * side < coeffs.shape[0]:
+        side += 1
+    # y-direction Horner per x-power, then x-direction Horner
+    acc = jnp.zeros_like(x)
+    for i in range(side - 1, -1, -1):
+        row = jnp.zeros_like(y)
+        for j in range(side - 1, -1, -1):
+            idx = i * side + j
+            c = coeffs[idx] if idx < coeffs.shape[0] else 0.0
+            row = row * y + c
+        acc = acc * x + row
+    return z + acc
+
+
+def _chebyshev_eval(n_max: int, t):
+    """T_0..T_n_max at t via the recurrence (static order)."""
+    terms = [jnp.ones_like(t)]
+    if n_max >= 1:
+        terms.append(t)
+    for _ in range(2, n_max + 1):
+        terms.append(2 * t * terms[-1] - terms[-2])
+    return terms
+
+
+def _sag_chebyshev(radius, conic, coeffs, p1, p2, x, y, aux=None):
+    """Conic + sum_ij C[i,j] T_i(x/norm_x) T_j(y/norm_y)
+    (reference: chebyshev.py:126-151)."""
+    z = _conic_sag(radius, conic, x**2 + y**2)
+    side = int(math.isqrt(coeffs.shape[0]))
+    if side * side < coeffs.shape[0]:
+        side += 1
+    tx = _chebyshev_eval(side - 1, x / p1)
+    ty = _chebyshev_eval(side - 1, y / p2)
+    acc = jnp.zeros_like(x)
+    for i in range(side):
+        for j in range(side):
+            idx = i * side + j
+            if idx < coeffs.shape[0]:
+                acc = acc + coeffs[idx] * tx[i] * ty[j]
+    return z + acc
+
+
+def _sag_zernike(radius, conic, coeffs, p1, p2, x, y, aux=None):
+    """Conic + Zernike polynomial sum over normalized coordinates
+    (reference: zernike.py:55-200)."""
+    from optiland_tpu.zernike import ZERNIKE_CLASSES
+
+    scheme = (aux or ("standard",))[0]
+    z = _conic_sag(radius, conic, x**2 + y**2)
+    zern = ZERNIKE_CLASSES[scheme](coeffs=coeffs)
+    rho = jnp.sqrt(x**2 + y**2) / p1
+    phi = jnp.arctan2(y, x)
+    return z + zern.poly(rho, phi)
+
+
+def _toroidal_zy(p1, p2, coeffs, y):
+    """Base Y-Z curve: conic of radius p1, conic p2, plus even polynomial
+    (reference: toroidal.py:86-123)."""
+    y2 = y**2
+    c = jnp.where(jnp.isinf(p1), 0.0, 1.0 / jnp.where(jnp.isinf(p1), 1.0, p1))
+    root = jnp.maximum(1.0 - (1.0 + p2) * c**2 * y2, 0.0)
+    denom = 1.0 + jnp.sqrt(root)
+    z_y = c * y2 / denom
+    acc = jnp.zeros_like(y)
+    for i in range(coeffs.shape[0] - 1, -1, -1):
+        acc = acc * y2 + coeffs[i]
+    return z_y + acc * y2
+
+
+def _sag_toroidal(radius, conic, coeffs, p1, p2, x, y, aux=None):
+    """Toroid: y-z profile rotated about an axis at distance R_rot
+    (reference: toroidal.py:162-190). radius=R_rot, p1=R_yz, p2=k_yz."""
+    z_y = _toroidal_zy(p1, p2, coeffs, y)
+    R = radius
+    inside = (R - z_y) ** 2 - x**2
+    z = z_y + (R - z_y) - jnp.sign(R - z_y) * jnp.sqrt(
+        jnp.where(inside < 0, jnp.nan, inside)
+    )
+    return jnp.where(jnp.isinf(R), z_y, z)
+
+
+def _sag_biconic(radius, conic, coeffs, p1, p2, x, y, aux=None):
+    """Biconic: separable x/y conic profiles (reference: biconic.py:69-102).
+    radius=Rx, conic=kx, p1=Ry, p2=ky."""
+    cx = jnp.where(jnp.isinf(radius), 0.0, 1.0 / jnp.where(jnp.isinf(radius), 1.0, radius))
+    cy = jnp.where(jnp.isinf(p1), 0.0, 1.0 / jnp.where(jnp.isinf(p1), 1.0, p1))
+    rx = jnp.maximum(1.0 - (1.0 + conic) * cx**2 * x**2, 0.0)
+    ry = jnp.maximum(1.0 - (1.0 + p2) * cy**2 * y**2, 0.0)
+    dx = 1.0 + jnp.sqrt(rx)
+    dy = 1.0 + jnp.sqrt(ry)
+    return cx * x**2 / dx + cy * y**2 / dy
 
 
 _SAG_FNS = {
@@ -82,30 +198,33 @@ _SAG_FNS = {
     STANDARD: _sag_standard,
     EVEN_ASPHERE: _sag_even_asphere,
     ODD_ASPHERE: _sag_odd_asphere,
+    POLYNOMIAL_XY: _sag_polynomial_xy,
+    CHEBYSHEV: _sag_chebyshev,
+    ZERNIKE_SAG: _sag_zernike,
+    TOROIDAL: _sag_toroidal,
+    BICONIC: _sag_biconic,
 }
 
-_MAX_CODE = max(_SAG_FNS) + 1
-_SAG_BRANCHES = [_SAG_FNS[c] for c in range(_MAX_CODE)]
+# Families whose intersection has a closed form
+_CLOSED_FORM = {PLANE, STANDARD}
 
 
-def sag(code, radius, conic, coeffs, x, y):
-    """Surface sag at local coordinates (x, y), dispatched on geometry code."""
-    return lax.switch(
-        jnp.asarray(code, jnp.int32), _SAG_BRANCHES, radius, conic, coeffs, x, y
-    )
+def sag_static(code: int, radius, conic, coeffs, x, y, p1=1.0, p2=1.0, aux=None):
+    """Surface sag at local coordinates (x, y) for a static geometry code."""
+    return _SAG_FNS[code](radius, conic, coeffs, p1, p2, x, y, aux=aux)
 
 
 # ---------------------------------------------------------------------------
-# Surface normals: normal(code, radius, conic, coeffs, x, y) -> (nx, ny, nz)
+# Surface normals (forward-mode autodiff of the sag)
 # ---------------------------------------------------------------------------
 
 
-def _normal_plane(radius, conic, coeffs, x, y):
-    zeros = jnp.zeros_like(x)
-    return zeros, zeros, -jnp.ones_like(x)
+def _normal_plane(x_like):
+    zeros = jnp.zeros_like(x_like)
+    return zeros, zeros, -jnp.ones_like(x_like)
 
 
-def _normal_standard(radius, conic, coeffs, x, y):
+def _normal_standard(radius, conic, x, y):
     r2 = x**2 + y**2
     denom = radius * jnp.sqrt(1 - (1 + conic) * r2 / radius**2)
     dfdx = x / denom
@@ -114,34 +233,56 @@ def _normal_standard(radius, conic, coeffs, x, y):
     return dfdx / mag, dfdy / mag, -1.0 / mag
 
 
-def _make_grad_normal(sag_fn):
-    """Build a normal function from a sag function via forward-mode autodiff."""
+def _normal_chebyshev(radius, conic, coeffs, p1, p2, x, y):
+    """Chebyshev surface normal replicating the reference's convention: the
+    polynomial derivative is taken w.r.t. the *normalized* coordinate with
+    no 1/norm chain-rule factor (reference: chebyshev.py:154-195 — traced
+    rays use this normal, so parity requires matching it exactly)."""
+    xn = x / p1
+    yn = y / p2
+    r2 = x**2 + y**2
+    denom = radius * jnp.sqrt(1 - (1 + conic) * r2 / radius**2)
+    dzdx = x / denom
+    dzdy = y / denom
+    side = int(math.isqrt(coeffs.shape[0]))
+    if side * side < coeffs.shape[0]:
+        side += 1
+    tx = _chebyshev_eval(side - 1, xn)
+    ty = _chebyshev_eval(side - 1, yn)
 
-    def _normal(radius, conic, coeffs, x, y):
-        f = lambda xx, yy: sag_fn(radius, conic, coeffs, xx, yy)
-        _, dfdx = jax.jvp(f, (x, y), (jnp.ones_like(x), jnp.zeros_like(y)))
-        _, dfdy = jax.jvp(f, (x, y), (jnp.zeros_like(x), jnp.ones_like(y)))
-        mag = jnp.sqrt(dfdx**2 + dfdy**2 + 1)
-        return dfdx / mag, dfdy / mag, -1.0 / mag
+    def dT(n, t):
+        if n == 0:
+            return jnp.zeros_like(t)
+        return n * jnp.sin(n * jnp.arccos(jnp.clip(t, -1.0, 1.0))) / jnp.sqrt(
+            jnp.maximum(1 - t**2, 1e-14)
+        )
 
-    return _normal
-
-
-_NORMAL_FNS = {
-    PLANE: _normal_plane,
-    STANDARD: _normal_standard,
-    EVEN_ASPHERE: _make_grad_normal(_sag_even_asphere),
-    ODD_ASPHERE: _make_grad_normal(_sag_odd_asphere),
-}
-
-_NORMAL_BRANCHES = [_NORMAL_FNS[c] for c in range(_MAX_CODE)]
+    for i in range(side):
+        for j in range(side):
+            idx = i * side + j
+            if idx < coeffs.shape[0]:
+                dzdx = dzdx + dT(i, xn) * coeffs[idx] * ty[j]
+                dzdy = dzdy + dT(j, yn) * coeffs[idx] * tx[i]
+    mag = jnp.sqrt(dzdx**2 + dzdy**2 + 1)
+    return dzdx / mag, dzdy / mag, -1.0 / mag
 
 
-def surface_normal(code, radius, conic, coeffs, x, y):
+def surface_normal_static(
+    code: int, radius, conic, coeffs, x, y, p1=1.0, p2=1.0, aux=None
+):
     """Unit surface normal at local (x, y), pointing toward -z at the vertex."""
-    return lax.switch(
-        jnp.asarray(code, jnp.int32), _NORMAL_BRANCHES, radius, conic, coeffs, x, y
-    )
+    if code == PLANE:
+        return _normal_plane(x)
+    if code == STANDARD:
+        return _normal_standard(radius, conic, x, y)
+    if code == CHEBYSHEV:
+        return _normal_chebyshev(radius, conic, coeffs, p1, p2, x, y)
+    sag_fn = _SAG_FNS[code]
+    f = lambda xx, yy: sag_fn(radius, conic, coeffs, p1, p2, xx, yy, aux=aux)
+    _, dfdx = jax.jvp(f, (x, y), (jnp.ones_like(x), jnp.zeros_like(y)))
+    _, dfdy = jax.jvp(f, (x, y), (jnp.zeros_like(x), jnp.ones_like(y)))
+    mag = jnp.sqrt(dfdx**2 + dfdy**2 + 1)
+    return dfdx / mag, dfdy / mag, -1.0 / mag
 
 
 # ---------------------------------------------------------------------------
@@ -149,12 +290,12 @@ def surface_normal(code, radius, conic, coeffs, x, y):
 # ---------------------------------------------------------------------------
 
 
-def _distance_plane(radius, conic, coeffs, x, y, z, L, M, N):
+def _distance_plane(x, y, z, L, M, N):
     N_safe = jnp.where(jnp.abs(N) > 1e-14, N, 1e-14)
     return -z / N_safe
 
 
-def _distance_standard(radius, conic, coeffs, x, y, z, L, M, N):
+def _distance_standard(radius, conic, x, y, z, L, M, N):
     """Closed-form conic intersection, choosing the root nearest the vertex
     plane (reference: geometries/standard.py:96-148)."""
     k = conic
@@ -173,67 +314,29 @@ def _distance_standard(radius, conic, coeffs, x, y, z, L, M, N):
     return jnp.where(a == 0, -c / b, t)
 
 
-def _make_newton_distance(sag_fn):
-    """Newton-iteration intersection for general sag surfaces.
+def distance_static(
+    code: int, radius, conic, coeffs, x, y, z, L, M, N, p1=1.0, p2=1.0, aux=None
+):
+    """Propagation distance to the surface in its local frame."""
+    if code == PLANE:
+        return _distance_plane(x, y, z, L, M, N)
+    if code == STANDARD:
+        return _distance_standard(radius, conic, x, y, z, L, M, N)
 
-    Starts from the base-conic closed-form intersection and iterates
-    t <- t - f(t)/f'(t) with f(t) = z(t) - sag(x(t), y(t)), a fixed
-    NEWTON_ITERS times (reference: geometries/newton_raphson.py:119-168).
-    """
+    sag_fn = _SAG_FNS[code]
+    # Newton iteration from the base-conic guess
+    # (reference: geometries/newton_raphson.py:119-168)
+    t0 = _distance_standard(radius, conic, x, y, z, L, M, N)
+    t0 = jnp.where(jnp.isfinite(t0), t0, _distance_plane(x, y, z, L, M, N))
 
-    def _distance(radius, conic, coeffs, x, y, z, L, M, N):
-        t0 = _distance_standard(radius, conic, coeffs, x, y, z, L, M, N)
-        # Planes as the base guess when the radius is infinite.
-        t0 = jnp.where(
-            jnp.isfinite(t0), t0, _distance_plane(radius, conic, coeffs, x, y, z, L, M, N)
+    def f_of_t(t):
+        return (z + t * N) - sag_fn(
+            radius, conic, coeffs, p1, p2, x + t * L, y + t * M, aux=aux
         )
 
-        def body(_, t):
-            xs, ys, zs = x + t * L, y + t * M, z + t * N
-            f_val = zs - sag_fn(radius, conic, coeffs, xs, ys)
-            fp = lambda tt: (z + tt * N) - sag_fn(
-                radius, conic, coeffs, x + tt * L, y + tt * M
-            )
-            _, dfdt = jax.jvp(fp, (t,), (jnp.ones_like(t),))
-            dfdt = jnp.where(jnp.abs(dfdt) > 1e-14, dfdt, 1e-14)
-            return t - f_val / dfdt
+    def body(_, t):
+        f_val, dfdt = jax.jvp(f_of_t, (t,), (jnp.ones_like(t),))
+        dfdt = jnp.where(jnp.abs(dfdt) > 1e-14, dfdt, 1e-14)
+        return t - f_val / dfdt
 
-        return lax.fori_loop(0, NEWTON_ITERS, body, t0)
-
-    return _distance
-
-
-_DISTANCE_FNS = {
-    PLANE: _distance_plane,
-    STANDARD: _distance_standard,
-    EVEN_ASPHERE: _make_newton_distance(_sag_even_asphere),
-    ODD_ASPHERE: _make_newton_distance(_sag_odd_asphere),
-}
-
-_DISTANCE_BRANCHES = [_DISTANCE_FNS[c] for c in range(_MAX_CODE)]
-
-
-def distance(code, radius, conic, coeffs, x, y, z, L, M, N):
-    """Propagation distance to the surface in its local frame."""
-    return lax.switch(
-        jnp.asarray(code, jnp.int32),
-        _DISTANCE_BRANCHES,
-        radius, conic, coeffs, x, y, z, L, M, N,
-    )
-
-
-# Static-code dispatch (used by the unrolled trace loop; the geometry family
-# is part of the static system structure, so these calls resolve at trace
-# time into pure elementwise expressions with no runtime branch).
-
-
-def sag_static(code: int, radius, conic, coeffs, x, y):
-    return _SAG_FNS[code](radius, conic, coeffs, x, y)
-
-
-def surface_normal_static(code: int, radius, conic, coeffs, x, y):
-    return _NORMAL_FNS[code](radius, conic, coeffs, x, y)
-
-
-def distance_static(code: int, radius, conic, coeffs, x, y, z, L, M, N):
-    return _DISTANCE_FNS[code](radius, conic, coeffs, x, y, z, L, M, N)
+    return lax.fori_loop(0, NEWTON_ITERS, body, t0)

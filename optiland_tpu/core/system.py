@@ -51,6 +51,8 @@ class SurfaceStack:
     radius: jnp.ndarray
     conic: jnp.ndarray
     coeffs: jnp.ndarray
+    geo_p1: jnp.ndarray
+    geo_p2: jnp.ndarray
     thickness: jnp.ndarray
     dx: jnp.ndarray
     dy: jnp.ndarray
@@ -83,6 +85,7 @@ class SystemConfig:
     geom_codes: tuple  # tuple[int], per surface
     mat_formulas: tuple  # tuple[int], material_post per surface
     reflective: tuple  # tuple[bool], per surface
+    geom_aux: tuple = None  # tuple[hashable|None], static per-surface extras
     has_tilts: bool = False
     has_absorption: bool = False
     aperture_type: str = "EPD"

@@ -37,7 +37,10 @@ def _surface_step(stack, cfg, s, pos_s, state):
     radius = stack.radius[s]
     conic = stack.conic[s]
     coeffs = stack.coeffs[s]
+    p1 = stack.geo_p1[s]
+    p2 = stack.geo_p2[s]
     code = cfg.geom_codes[s]
+    aux = cfg.geom_aux[s] if cfg.geom_aux is not None else None
 
     # Localize (reference: coordinate_system.py:73-89)
     x = x - stack.dx[s]
@@ -49,7 +52,9 @@ def _surface_step(stack, cfg, s, pos_s, state):
         y, z, M, N = kernels.rotate_x(y, z, M, N, -stack.rx[s])
 
     # Intersect + propagate
-    t = geom.distance_static(code, radius, conic, coeffs, x, y, z, L, M, N)
+    t = geom.distance_static(
+        code, radius, conic, coeffs, x, y, z, L, M, N, p1=p1, p2=p2, aux=aux
+    )
     x = x + t * L
     y = y + t * M
     z = z + t * N
@@ -67,7 +72,9 @@ def _surface_step(stack, cfg, s, pos_s, state):
     inten = jnp.where(x**2 + y**2 > ap**2, 0.0, inten)
 
     # Normal + interaction
-    nx, ny, nz = geom.surface_normal_static(code, radius, conic, coeffs, x, y)
+    nx, ny, nz = geom.surface_normal_static(
+        code, radius, conic, coeffs, x, y, p1=p1, p2=p2, aux=aux
+    )
     if cfg.reflective[s]:
         L, M, N = kernels.reflect(L, M, N, nx, ny, nz)
         n_next = n_pre

@@ -31,6 +31,11 @@ _GEOM_CODES = {
     "plane": geom.PLANE,
     "even_asphere": geom.EVEN_ASPHERE,
     "odd_asphere": geom.ODD_ASPHERE,
+    "polynomial": geom.POLYNOMIAL_XY,
+    "chebyshev": geom.CHEBYSHEV,
+    "zernike": geom.ZERNIKE_SAG,
+    "toroidal": geom.TOROIDAL,
+    "biconic": geom.BICONIC,
 }
 
 
@@ -52,6 +57,10 @@ class SurfaceDef:
     rz: float = 0.0
     aperture: float | None = None  # physical semi-diameter via diameter value
     comment: str = ""
+    # extended geometry parameters
+    geo_p1: float = 1.0  # second radius / norm_x / norm_radius
+    geo_p2: float = 1.0  # second conic / norm_y
+    geo_aux: tuple | None = None  # static extras (e.g. ("fringe",) zernike)
 
     # resolved at compile time
     _material_obj: BaseMaterial | None = None
@@ -85,6 +94,34 @@ class SurfaceGroup:
         **kwargs,
     ):
         """Add a surface (reference parity: surface_group.py:259-337)."""
+        geo_p1, geo_p2, geo_aux = 1.0, 1.0, None
+        coeff_arr = np.asarray(coefficients, dtype=float) if np.size(coefficients) else np.zeros(0)
+        if surface_type in ("polynomial", "chebyshev") and coeff_arr.ndim == 2:
+            # embed the (i, j) matrix in a square row-major layout
+            side = max(coeff_arr.shape)
+            sq = np.zeros((side, side))
+            sq[: coeff_arr.shape[0], : coeff_arr.shape[1]] = coeff_arr
+            coeff_arr = sq.ravel()
+        else:
+            coeff_arr = coeff_arr.ravel()
+        if surface_type == "chebyshev":
+            geo_p1 = kwargs.pop("norm_x", None) or 1.0
+            geo_p2 = kwargs.pop("norm_y", None) or 1.0
+        elif surface_type == "zernike":
+            geo_p1 = kwargs.pop("norm_radius", None) or 1.0
+            geo_aux = (kwargs.pop("zernike_type", "fringe"),)
+        elif surface_type == "biconic":
+            radius = kwargs.pop("radius_x", radius)
+            conic = kwargs.pop("conic_x", conic)
+            geo_p1 = kwargs.pop("radius_y", np.inf)
+            geo_p2 = kwargs.pop("conic_y", 0.0)
+        elif surface_type == "toroidal":
+            radius = kwargs.pop("radius_x", radius)
+            geo_p1 = kwargs.pop("radius_y", np.inf)
+            geo_p2 = conic  # conic applies to the Y-Z curve
+            tor = kwargs.pop("toroidal_coeffs_poly_y", None)
+            if tor is not None and np.size(tor):
+                coeff_arr = np.ravel(np.asarray(tor, dtype=float))
         sd = SurfaceDef(
             radius=radius,
             thickness=thickness,
@@ -92,7 +129,7 @@ class SurfaceGroup:
             material=material,
             is_stop=is_stop,
             surface_type=surface_type,
-            coefficients=tuple(np.ravel(coefficients)) if len(np.ravel(coefficients)) else (),
+            coefficients=tuple(coeff_arr) if coeff_arr.size else (),
             dx=dx,
             dy=dy,
             rx=rx,
@@ -100,6 +137,9 @@ class SurfaceGroup:
             rz=rz,
             aperture=aperture,
             comment=comment,
+            geo_p1=float(geo_p1),
+            geo_p2=float(geo_p2),
+            geo_aux=geo_aux,
         )
         if index is None:
             index = len(self.surfaces)
@@ -381,6 +421,7 @@ class Optic:
             if code == geom.STANDARD and np.isinf(s.radius):
                 code = geom.PLANE
             geom_code.append(code)
+        geom_aux = tuple(s.geo_aux for s in surfs)
 
         coeffs = np.zeros((S, max_nc))
         for i, s in enumerate(surfs):
@@ -391,6 +432,8 @@ class Optic:
             radius=jnp.asarray(radius, dt),
             conic=jnp.asarray([float(s.conic) for s in surfs], dt),
             coeffs=jnp.asarray(coeffs, dt),
+            geo_p1=jnp.asarray([float(s.geo_p1) for s in surfs], dt),
+            geo_p2=jnp.asarray([float(s.geo_p2) for s in surfs], dt),
             thickness=jnp.asarray([float(s.thickness) for s in surfs], dt),
             dx=jnp.asarray([float(s.dx) for s in surfs], dt),
             dy=jnp.asarray([float(s.dy) for s in surfs], dt),
@@ -429,6 +472,7 @@ class Optic:
             geom_codes=tuple(geom_code),
             mat_formulas=tuple(int(m.formula_code) for m in mats),
             reflective=tuple(bool(s._is_reflective) for s in surfs),
+            geom_aux=geom_aux,
             has_tilts=has_rot,
             has_absorption=has_abs,
             aperture_type=self.aperture.ap_type,

@@ -1,0 +1,238 @@
+"""Optimizers: optax gradient loops and SciPy wrappers with exact JAX jacobians.
+
+Replaces the reference's optimizer stack (reference:
+optiland/optimization/optimizer/scipy/*.py with finite-difference
+gradients, and optimizer/torch/*.py with torch autograd): every method
+here receives exact gradients/jacobians from jax.value_and_grad /
+jax.jacrev of the jitted merit function.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class OptimizationResult:
+    def __init__(self, x, fun, nit=None, success=True, message="", history=None):
+        self.x = np.asarray(x)
+        self.fun = float(fun)
+        self.nit = nit
+        self.success = success
+        self.message = message
+        self.history = history or []
+
+    def __repr__(self):
+        return f"OptimizationResult(fun={self.fun:.6g}, nit={self.nit})"
+
+
+class OptimizerGeneric:
+    """scipy.optimize.minimize with exact JAX gradient
+    (reference: optimizer/scipy/base.py:25)."""
+
+    method = None
+
+    def __init__(self, problem):
+        self.problem = problem
+
+    def optimize(self, maxiter: int = 1000, tol: float | None = None,
+                 disp: bool = False, apply: bool = True, **kwargs):
+        from scipy import optimize as sciopt
+
+        vg = self.problem.value_and_grad_fn()
+
+        def fun(x):
+            v, g = vg(jnp.asarray(x))
+            return float(v), np.asarray(g, dtype=float)
+
+        x0 = self.problem.initial_x()
+        res = sciopt.minimize(
+            fun, x0, jac=True, method=self.method,
+            options={"maxiter": maxiter, "disp": disp}, tol=tol, **kwargs
+        )
+        if apply:
+            self.problem.update_optic(res.x)
+        return OptimizationResult(
+            res.x, res.fun, nit=getattr(res, "nit", None),
+            success=res.success, message=str(res.message),
+        )
+
+
+class LeastSquares(OptimizerGeneric):
+    """scipy.optimize.least_squares with exact JAX jacobian
+    (reference: optimizer/scipy/least_squares.py:15)."""
+
+    def optimize(self, maxiter: int = 1000, disp: bool = False,
+                 apply: bool = True, **kwargs):
+        from scipy import optimize as sciopt
+
+        res_fn = self.problem.residuals_fn()
+        jac_fn = self.problem.res_jac_fn()
+        x0 = self.problem.initial_x()
+        res = sciopt.least_squares(
+            lambda x: np.asarray(res_fn(jnp.asarray(x)), dtype=float),
+            x0,
+            jac=lambda x: np.asarray(jac_fn(jnp.asarray(x)), dtype=float),
+            max_nfev=maxiter,
+            verbose=2 if disp else 0,
+            **kwargs,
+        )
+        if apply:
+            self.problem.update_optic(res.x)
+        return OptimizationResult(
+            res.x, float(np.sum(res.fun**2)), nit=res.nfev,
+            success=res.success, message=str(res.message),
+        )
+
+
+class DualAnnealing(OptimizerGeneric):
+    """Global annealing search (reference: optimizer/scipy/dual_annealing.py)."""
+
+    def optimize(self, bounds=None, maxiter: int = 1000, apply: bool = True,
+                 seed=None, **kwargs):
+        from scipy import optimize as sciopt
+
+        merit = self.problem.merit_fn()
+        x0 = self.problem.initial_x()
+        if bounds is None:
+            bounds = [(x - 10.0, x + 10.0) for x in x0]
+        res = sciopt.dual_annealing(
+            lambda x: float(merit(jnp.asarray(x))), bounds,
+            maxiter=maxiter, x0=x0, seed=seed, **kwargs
+        )
+        if apply:
+            self.problem.update_optic(res.x)
+        return OptimizationResult(res.x, res.fun, nit=res.nit,
+                                  success=res.success, message=str(res.message))
+
+
+class DifferentialEvolution(OptimizerGeneric):
+    """Population-based global search
+    (reference: optimizer/scipy/differential_evolution.py)."""
+
+    def optimize(self, bounds=None, maxiter: int = 1000, workers: int = 1,
+                 apply: bool = True, seed=None, **kwargs):
+        from scipy import optimize as sciopt
+
+        merit = self.problem.merit_fn()
+        x0 = self.problem.initial_x()
+        if bounds is None:
+            bounds = [(x - 10.0, x + 10.0) for x in x0]
+        res = sciopt.differential_evolution(
+            lambda x: float(merit(jnp.asarray(x))), bounds,
+            maxiter=maxiter, x0=x0, seed=seed, **kwargs
+        )
+        if apply:
+            self.problem.update_optic(res.x)
+        return OptimizationResult(res.x, res.fun, nit=res.nit,
+                                  success=res.success, message=str(res.message))
+
+
+class BasinHopping(OptimizerGeneric):
+    """Basin-hopping global search (reference: optimizer/scipy/basin_hopping.py)."""
+
+    def optimize(self, niter: int = 100, apply: bool = True, seed=None, **kwargs):
+        from scipy import optimize as sciopt
+
+        vg = self.problem.value_and_grad_fn()
+
+        def fun(x):
+            v, g = vg(jnp.asarray(x))
+            return float(v), np.asarray(g, dtype=float)
+
+        x0 = self.problem.initial_x()
+        res = sciopt.basinhopping(
+            fun, x0, niter=niter, seed=seed,
+            minimizer_kwargs={"jac": True}, **kwargs
+        )
+        if apply:
+            self.problem.update_optic(res.x)
+        return OptimizationResult(res.x, res.fun, nit=res.nit,
+                                  success=True, message=str(res.message))
+
+
+class SHGO(OptimizerGeneric):
+    """Simplicial homology global optimization
+    (reference: optimizer/scipy/shgo.py)."""
+
+    def optimize(self, bounds=None, apply: bool = True, **kwargs):
+        from scipy import optimize as sciopt
+
+        merit = self.problem.merit_fn()
+        x0 = self.problem.initial_x()
+        if bounds is None:
+            bounds = [(x - 10.0, x + 10.0) for x in x0]
+        res = sciopt.shgo(lambda x: float(merit(jnp.asarray(x))), bounds, **kwargs)
+        if apply:
+            self.problem.update_optic(res.x)
+        return OptimizationResult(res.x, res.fun, nit=getattr(res, "nit", None),
+                                  success=res.success, message=str(res.message))
+
+
+class OptaxOptimizer:
+    """Gradient-descent loop on the scaled variable vector via optax.
+
+    The TPU-native analog of the reference's torch Adam/SGD optimizers
+    (reference: optimizer/torch/base.py:35, adam.py:23, sgd.py:23): one
+    jitted update step, exact gradients, optional cosine/exponential decay.
+    """
+
+    def __init__(self, problem, optimizer=None):
+        import optax
+
+        self.problem = problem
+        self.optax = optax
+        self.optimizer = optimizer
+
+    def optimize(self, n_steps: int = 200, lr: float = 1e-2,
+                 apply: bool = True, callback=None):
+        import optax
+
+        opt = self.optimizer or optax.adam(lr)
+        vg = self.problem.value_and_grad_fn()
+
+        @jax.jit
+        def step(x, opt_state):
+            v, g = vg(x)
+            updates, opt_state = opt.update(g, opt_state, x)
+            return optax.apply_updates(x, updates), opt_state, v
+
+        x = jnp.asarray(self.problem.initial_x())
+        opt_state = opt.init(x)
+        history = []
+        best_x, best_v = x, jnp.inf
+        for i in range(n_steps):
+            x, opt_state, v = step(x, opt_state)
+            history.append(float(v))
+            if v < best_v:
+                best_v, best_x = v, x
+            if callback is not None:
+                callback(i, float(v))
+        final_v = float(self.problem.merit_fn()(x))
+        if final_v <= best_v:
+            best_x, best_v = x, final_v
+        if apply:
+            self.problem.update_optic(best_x)
+        return OptimizationResult(best_x, best_v, nit=n_steps, history=history)
+
+
+class TorchAdamOptimizer(OptaxOptimizer):
+    """API-compatibility alias: Adam loop (reference: optimizer/torch/adam.py)."""
+
+    def optimize(self, n_steps: int = 200, lr: float = 1e-2, **kwargs):
+        import optax
+
+        self.optimizer = optax.adam(lr)
+        return super().optimize(n_steps=n_steps, lr=lr, **kwargs)
+
+
+class TorchSGDOptimizer(OptaxOptimizer):
+    """API-compatibility alias: SGD loop (reference: optimizer/torch/sgd.py)."""
+
+    def optimize(self, n_steps: int = 200, lr: float = 1e-3, momentum: float = 0.9,
+                 **kwargs):
+        import optax
+
+        self.optimizer = optax.sgd(lr, momentum=momentum)
+        return super().optimize(n_steps=n_steps, lr=lr, **kwargs)

@@ -102,3 +102,27 @@ class TripletTelescopeObjective(Optic):
         self.wavelengths.add(value=0.4861)
         self.wavelengths.add(value=0.5876, is_primary=True)
         self.wavelengths.add(value=0.6563)
+
+
+class AsphericSinglet(Optic):
+    """Aspheric singlet (reference: optiland/samples/simple.py:161)."""
+
+    def __init__(self):
+        super().__init__()
+        self.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+        self.surfaces.add(
+            index=1,
+            thickness=7,
+            radius=20.0,
+            is_stop=True,
+            material="N-SF11",
+            surface_type="even_asphere",
+            conic=0.0,
+            coefficients=[-2.248851e-4, -4.690412e-6, -6.404376e-8],
+        )
+        self.surfaces.add(index=2, thickness=21.56201105)
+        self.surfaces.add(index=3)
+        self.set_aperture(aperture_type="EPD", value=20.0)
+        self.fields.set_type(field_type="angle")
+        self.fields.add(y=0)
+        self.wavelengths.add(value=0.587, is_primary=True)

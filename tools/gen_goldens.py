@@ -127,5 +127,136 @@ def main():
     print(f"materials: {len(mat_data)} arrays")
 
 
+def wave_goldens():
+    """Wavefront/PSF/MTF/Seidel goldens for the Cooke triplet."""
+    import sys
+    sys.modules.setdefault("vtk", types.ModuleType("vtk"))
+    from optiland.samples.objectives import CookeTriplet
+    from optiland.wavefront import Wavefront
+    from optiland.psf import FFTPSF, HuygensPSF
+    from optiland.mtf import FFTMTF
+
+    lens = CookeTriplet()
+    out = {}
+    for strat in ("chief_ray", "centroid"):
+        wf = Wavefront(lens, num_rays=6, strategy=strat)
+        for (fx, fy) in ((0.0, 0.0), (0.0, 1.0)):
+            d = wf.get_data((fx, fy), 0.55)
+            tag = f"{strat}_{fy:g}"
+            out[f"wf_{tag}_opd"] = np.asarray(d.opd)
+            out[f"wf_{tag}_px"] = np.asarray(d.pupil_x)
+            out[f"wf_{tag}_py"] = np.asarray(d.pupil_y)
+            out[f"wf_{tag}_radius"] = np.ravel(np.asarray(d.radius))
+
+    psf = FFTPSF(lens, (0, 0), 0.55, num_rays=32, grid_size=64)
+    out["fftpsf_onaxis"] = np.asarray(psf.psf)
+    out["fftpsf_strehl"] = psf.strehl_ratio()
+    h = HuygensPSF(lens, (0.0, 0.0), 0.55, num_rays=32, image_size=32)
+    out["huygens_onaxis"] = np.asarray(h.psf)
+    mtf = FFTMTF(lens, num_rays=32, grid_size=64)
+    for k in range(3):
+        out[f"fftmtf_tan_{k}"] = np.asarray(mtf.mtf[k][0])
+        out[f"fftmtf_sag_{k}"] = np.asarray(mtf.mtf[k][1])
+        out[f"fftmtf_freq_{k}"] = np.asarray(mtf.freq_tang[k])
+
+    out["seidels"] = np.asarray(lens.aberrations.seidels())
+    to = lens.aberrations.third_order()
+    names = ["TSC", "SC", "CC", "TCC", "TAC", "AC", "TPC", "PC", "DC",
+             "TAchC", "LchC", "TchC"]
+    for name, arr in zip(names, to[:12]):
+        out[f"thirdorder_{name}"] = np.ravel(np.asarray(arr))
+
+    from optiland.analysis import Distortion, FieldCurvature
+    d = Distortion(lens, num_points=16)
+    out["distortion"] = np.stack([np.asarray(a) for a in d.data])
+    fc = FieldCurvature(lens, num_points=8)
+    out["field_curvature_tan"] = np.stack([np.asarray(a[0]) for a in fc.data])
+    out["field_curvature_sag"] = np.stack([np.asarray(a[1]) for a in fc.data])
+    np.savez_compressed(os.path.join(OUT, "wave_cooke.npz"), **out)
+    print(f"wave_cooke: {len(out)} arrays")
+
+
+
+
+def geom_goldens():
+    """Geometry-family sag/normal grids and aspheric/tilted trace goldens."""
+    from optiland.coordinate_system import CoordinateSystem
+    from optiland.geometries import (
+        BiconicGeometry,
+        ChebyshevPolynomialGeometry,
+        EvenAsphere,
+        OddAsphere,
+        PolynomialGeometry,
+        ToroidalGeometry,
+        ZernikePolynomialGeometry,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-5, 5, 40)
+    y = rng.uniform(-5, 5, 40)
+    cs = CoordinateSystem()
+    cmat = [[0, 1e-4, -1e-6], [2e-4, 1e-5, 0], [1e-6, 0, 1e-8]]
+    zc = [0.001, -0.002, 0.0005, 0.0003, 0.0001, 0.0002]
+    geoms = {
+        "even_asphere": EvenAsphere(cs, 50.0, -0.5, coefficients=[1e-5, -2e-8, 3e-11]),
+        "odd_asphere": OddAsphere(cs, 50.0, -0.5, coefficients=[1e-4, -1e-6, 1e-8]),
+        "polynomial": PolynomialGeometry(cs, 50.0, -0.5, coefficients=cmat),
+        "chebyshev": ChebyshevPolynomialGeometry(
+            cs, 50.0, -0.5, coefficients=cmat, norm_x=6.0, norm_y=7.0
+        ),
+        "zernike": ZernikePolynomialGeometry(
+            cs, 50.0, -0.5, coefficients=zc, zernike_type="fringe", norm_radius=8.0
+        ),
+        "toroidal": ToroidalGeometry(
+            cs, radius_x=100.0, radius_y=50.0, conic=-0.5,
+            coeffs_poly_y=[1e-5, -1e-8],
+        ),
+        "biconic": BiconicGeometry(
+            cs, radius_x=80.0, radius_y=50.0, conic_x=-0.2, conic_y=-0.8
+        ),
+    }
+    out = {"x": x, "y": y}
+    for name, g in geoms.items():
+        out[f"{name}_sag"] = np.asarray(g.sag(x, y))
+        nx, ny, nz = g._surface_normal(x, y)
+        out[f"{name}_nx"] = np.asarray(nx)
+        out[f"{name}_ny"] = np.asarray(ny)
+        out[f"{name}_nz"] = np.asarray(nz)
+
+    from optiland.samples.simple import AsphericSinglet
+
+    lens = AsphericSinglet()
+    rays = lens.trace(Hx=0, Hy=0, wavelength=0.587, num_rays=5)
+    for c in ("x", "y", "z", "L", "M", "N", "opd", "i"):
+        out[f"asph_{c}"] = np.asarray(getattr(rays, c))
+
+    # tilted/decentered aspheric singlet
+    from optiland import optic as ropt
+    import optiland.backend as be
+
+    tl = ropt.Optic()
+    tl.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    tl.surfaces.add(
+        index=1, thickness=7, radius=20.0, is_stop=True, material="N-SF11",
+        surface_type="even_asphere", conic=0.0,
+        coefficients=[-2.248851e-4, -4.690412e-6, -6.404376e-8],
+        rx=0.02, dy=0.3,
+    )
+    tl.surfaces.add(index=2, thickness=21.56201105)
+    tl.surfaces.add(index=3)
+    tl.set_aperture(aperture_type="EPD", value=20.0)
+    tl.fields.set_type(field_type="angle")
+    tl.fields.add(y=0)
+    tl.wavelengths.add(value=0.587, is_primary=True)
+    rays = tl.trace(Hx=0, Hy=0, wavelength=0.587, num_rays=5)
+    for c in ("x", "y", "z", "L", "M", "N", "opd", "i"):
+        out[f"tilted_{c}"] = np.asarray(getattr(rays, c))
+
+    np.savez_compressed(os.path.join(OUT, "geometries.npz"), **out)
+    print(f"geometries: {len(out)} arrays")
+
+
 if __name__ == "__main__":
     main()
+    wave_goldens()
+    geom_goldens()
