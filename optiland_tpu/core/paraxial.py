@@ -48,8 +48,11 @@ def trace_generic(
     (R -> -flip(R), n -> flip(roll(n,1)), pos -> pos[-1] - flip(pos)).
     """
     R, n, pos, refl = _paraxial_arrays(system, wavelength)
-    S = system.cfg.num_surfaces
+    cfg = system.cfg
+    S = cfg.num_surfaces
     is_object = [i == 0 for i in range(S)]
+    inter = list(cfg.interactions) if cfg.interactions is not None else [None] * S
+    f_thin = system.stack.geo_p1
 
     if reverse:
         R = -jnp.flip(R)
@@ -57,6 +60,8 @@ def trace_generic(
         pos = pos[-1] - jnp.flip(pos)
         refl = refl[::-1]
         is_object = is_object[::-1]
+        inter = inter[::-1]
+        f_thin = jnp.flip(f_thin)
 
     power = jnp.diff(n, prepend=n[:1]) / R
 
@@ -76,10 +81,18 @@ def trace_generic(
         t = pos[k] - z_
         z_ = jnp.broadcast_to(pos[k], z_.shape)
         y_ = y_ + t * u_
+        is_thin = inter[k] is not None and inter[k][0] == "thin_lens"
         if refl[k]:
-            u_ = -u_ - 2 * y_ / R[k]
+            if is_thin:
+                f = -f_thin[k] if reverse else f_thin[k]
+                u_ = -u_ - y_ / f
+            else:
+                u_ = -u_ - 2 * y_ / R[k]
         else:
-            u_ = (n[k - 1] * u_ - y_ * power[k]) / n[k]
+            if is_thin:
+                u_ = (n[k - 1] * u_ - y_ / f_thin[k]) / n[k]
+            else:
+                u_ = (n[k - 1] * u_ - y_ * power[k]) / n[k]
         heights.append(y_)
         slopes.append(u_)
 

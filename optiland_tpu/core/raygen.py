@@ -127,10 +127,19 @@ def aim_rays_paraxial(system: System, Hx, Hy, Px, Py):
     return x0, y0, z0, L, M, N
 
 
-def generate_rays(system: System, Hx, Hy, Px, Py, wavelength) -> RealRays:
+def generate_rays(
+    system: System, Hx, Hy, Px, Py, wavelength, apodization=None
+) -> RealRays:
     """Generate a launch bundle for tracing
-    (reference: rays/ray_generator.py:47-99)."""
+    (reference: rays/ray_generator.py:47-99). ``apodization`` is a static
+    BaseApodization applied to the launch intensities
+    (reference: rays/ray_generator.py:81-85)."""
     x0, y0, z0, L, M, N = aim_rays_paraxial(system, Hx, Hy, Px, Py)
-    intensity = jnp.ones_like(jnp.atleast_1d(Px))
+    Px = jnp.atleast_1d(Px)
+    Py = jnp.atleast_1d(Py)
+    if apodization is not None:
+        intensity = apodization.get_intensity(Px, Py)
+    else:
+        intensity = jnp.ones_like(Px)
     wl = jnp.ones_like(x0) * wavelength
     return RealRays.create(x0, y0, z0, L, M, N, intensity, wl)

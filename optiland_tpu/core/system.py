@@ -86,6 +86,11 @@ class SystemConfig:
     mat_formulas: tuple  # tuple[int], material_post per surface
     reflective: tuple  # tuple[bool], per surface
     geom_aux: tuple = None  # tuple[hashable|None], static per-surface extras
+    apertures: tuple = None  # tuple[BaseAperture|None], static clip objects
+    # Per-surface interaction spec: None = refract/reflect (default),
+    # ("thin_lens",) = ideal lens with f in stack.geo_p1,
+    # ("phase", profile) = generalized Snell via a BasePhaseProfile.
+    interactions: tuple = None
     has_tilts: bool = False
     has_absorption: bool = False
     aperture_type: str = "EPD"

@@ -68,14 +68,84 @@ def _surface_step(stack, cfg, s, pos_s, state):
     opd = opd + jnp.abs(t * n_pre)
 
     # Physical aperture clip (local frame)
-    ap = stack.ap_max[s]
-    inten = jnp.where(x**2 + y**2 > ap**2, 0.0, inten)
+    ap_obj = cfg.apertures[s] if cfg.apertures is not None else None
+    if ap_obj is not None:
+        inten = ap_obj.clip(inten, x, y)
+    else:
+        ap = stack.ap_max[s]
+        inten = jnp.where(x**2 + y**2 > ap**2, 0.0, inten)
 
     # Normal + interaction
     nx, ny, nz = geom.surface_normal_static(
         code, radius, conic, coeffs, x, y, p1=p1, p2=p2, aux=aux
     )
-    if cfg.reflective[s]:
+    inter = cfg.interactions[s] if cfg.interactions is not None else None
+    if inter is not None and inter[0] == "thin_lens":
+        # Ideal thin lens with focal length f = geo_p1
+        # (reference: interactions/thin_lens_interaction_model.py:24+)
+        f = p1
+        n_post = (
+            n_pre if cfg.reflective[s]
+            else n_of(cfg.mat_formulas[s], stack.mat_coeffs[s], stack.ntab[s], w)
+        )
+        opd = opd - (x**2 + y**2) / (2 * f)
+        Ln = L / jnp.abs(N)
+        Mn = M / jnp.abs(N)
+        Nn = N / jnp.abs(N)
+        if cfg.reflective[s]:
+            f1 = f2 = -f * jnp.sign(N)
+        else:
+            fs = f * jnp.sign(N)
+            f1 = fs * n_pre
+            f2 = fs * n_post
+        Lb = Ln * f1 - x
+        Mb = Mn * f1 - y
+        Nb = jnp.where(N > 0, f2, -f2)
+        neg = f < 0
+        L = jnp.where(neg, -Lb, Lb)
+        M = jnp.where(neg, -Mb, Mb)
+        N = jnp.where(neg, -Nb, Nb)
+        mag = jnp.sqrt(L**2 + M**2 + N**2)
+        L, M, N = L / mag, M / mag, N / mag
+        n_next = n_post
+    elif inter is not None and inter[0] == "phase":
+        # Generalized Snell's law via phase-profile gradient
+        # (reference: interactions/phase_interaction_model.py:18-135)
+        profile = inter[1]
+        # The reference's Plane geometry reports a +z normal (plane.py:90-102)
+        # while other geometries report -z at the vertex; the thin-sheet phase
+        # model is defined on planes, so match that convention here.
+        if code == geom.PLANE:
+            nx, ny, nz = -nx, -ny, -nz
+        n_post = (
+            n_pre if cfg.reflective[s]
+            else n_of(cfg.mat_formulas[s], stack.mat_coeffs[s], stack.ntab[s], w)
+        )
+        k0 = 2 * jnp.pi / (w * 1e-3)
+        k_ix = n_pre * k0 * L
+        k_iy = n_pre * k0 * M
+        k_iz = n_pre * k0 * N
+        phase_val = profile.get_phase(x, y, w)
+        gx, gy, gz = profile.get_gradient(x, y, w)
+        g_dot_n = gx * nx + gy * ny + gz * nz
+        Gx, Gy, Gz = gx - g_dot_n * nx, gy - g_dot_n * ny, gz - g_dot_n * nz
+        kin_dot_n = k_ix * nx + k_iy * ny + k_iz * nz
+        px_ = k_ix - kin_dot_n * nx + Gx
+        py_ = k_iy - kin_dot_n * ny + Gy
+        pz_ = k_iz - kin_dot_n * nz + Gz
+        R_sq = (n_post * k0) ** 2 - (px_**2 + py_**2 + pz_**2)
+        inten = jnp.where(R_sq < 0.0, 0.0, inten)
+        alpha = jnp.sqrt(jnp.maximum(R_sq, 0.0))
+        alpha = jnp.where(cfg.reflective[s], -alpha, alpha)
+        kx = px_ + alpha * nx
+        ky = py_ + alpha * ny
+        kz = pz_ + alpha * nz
+        kmag = jnp.sqrt(kx**2 + ky**2 + kz**2)
+        L, M, N = kx / kmag, ky / kmag, kz / kmag
+        opd = opd - phase_val / k0
+        inten = inten * profile.efficiency
+        n_next = n_pre if cfg.reflective[s] else n_post
+    elif cfg.reflective[s]:
         L, M, N = kernels.reflect(L, M, N, nx, ny, nz)
         n_next = n_pre
     else:

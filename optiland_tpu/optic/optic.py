@@ -36,6 +36,7 @@ _GEOM_CODES = {
     "zernike": geom.ZERNIKE_SAG,
     "toroidal": geom.TOROIDAL,
     "biconic": geom.BICONIC,
+    "paraxial": geom.PLANE,
 }
 
 
@@ -61,6 +62,7 @@ class SurfaceDef:
     geo_p1: float = 1.0  # second radius / norm_x / norm_radius
     geo_p2: float = 1.0  # second conic / norm_y
     geo_aux: tuple | None = None  # static extras (e.g. ("fringe",) zernike)
+    phase_profile: object = None  # BasePhaseProfile for phase interactions
 
     # resolved at compile time
     _material_obj: BaseMaterial | None = None
@@ -122,6 +124,10 @@ class SurfaceGroup:
             tor = kwargs.pop("toroidal_coeffs_poly_y", None)
             if tor is not None and np.size(tor):
                 coeff_arr = np.ravel(np.asarray(tor, dtype=float))
+        elif surface_type == "paraxial":
+            # ideal thin lens; focal length in geo_p1
+            geo_p1 = kwargs.pop("f", kwargs.pop("focal_length", np.inf))
+        phase_profile = kwargs.pop("phase_profile", None)
         sd = SurfaceDef(
             radius=radius,
             thickness=thickness,
@@ -141,6 +147,7 @@ class SurfaceGroup:
             geo_p2=float(geo_p2),
             geo_aux=geo_aux,
         )
+        sd.phase_profile = phase_profile
         if index is None:
             index = len(self.surfaces)
         self.surfaces.insert(index, sd)
@@ -301,11 +308,13 @@ def _jitted_paraxial(name, system):
 
 @functools.lru_cache(maxsize=32)
 def _trace_jit():
-    def run(system, Hx, Hy, Px, Py, wavelength, record):
-        rays = raygen.generate_rays(system, Hx, Hy, Px, Py, wavelength)
+    def run(system, Hx, Hy, Px, Py, wavelength, record, apodization=None):
+        rays = raygen.generate_rays(
+            system, Hx, Hy, Px, Py, wavelength, apodization=apodization
+        )
         return trace_core.trace(system, rays, record=record)
 
-    return jax.jit(run, static_argnames=("record",))
+    return jax.jit(run, static_argnames=("record", "apodization"))
 
 
 class TraceResult:
@@ -328,6 +337,9 @@ class Optic:
     """Top-level optical system builder and interface."""
 
     def __init__(self, name: str | None = None):
+        from optiland_tpu.pickup import PickupManager
+        from optiland_tpu.solves import SolveManager
+
         self.name = name
         self.surfaces = SurfaceGroup(self)
         self.fields = FieldGroup(self)
@@ -335,6 +347,9 @@ class Optic:
         self.aperture: Aperture | None = None
         self.polarization = "ignore"
         self.obj_space_telecentric = False
+        self.pickups = PickupManager(self)
+        self.solves = SolveManager(self)
+        self.apodization = None
         self._system_cache: System | None = None
 
     # ---------------- configuration API ----------------
@@ -352,8 +367,94 @@ class Optic:
     def set_field_type(self, field_type: str):
         self.fields.set_type(field_type)
 
+    def set_polarization(self, polarization):
+        self.polarization = polarization
+        self._invalidate()
+
+    def set_apodization(self, apodization):
+        self.apodization = apodization
+        self._invalidate()
+
     def _invalidate(self):
         self._system_cache = None
+
+    # ---------------- mutation API (reference: optic/optic_updater.py) ----
+
+    def set_radius(self, value: float, surface_number: int):
+        self.surfaces.surfaces[surface_number].radius = value
+        self._invalidate()
+
+    def set_conic(self, value: float, surface_number: int):
+        self.surfaces.surfaces[surface_number].conic = value
+        self._invalidate()
+
+    def set_thickness(self, value: float, surface_number: int):
+        self.surfaces.surfaces[surface_number].thickness = value
+        self._invalidate()
+
+    def set_index(self, value: float, surface_number: int):
+        from optiland_tpu.materials import IdealMaterial
+
+        self.surfaces.surfaces[surface_number].material = IdealMaterial(value)
+        self._invalidate()
+
+    def set_material(self, material, surface_number: int):
+        self.surfaces.surfaces[surface_number].material = material
+        self._invalidate()
+
+    def set_asphere_coeff(self, value: float, surface_number: int,
+                          coeff_number: int):
+        s = self.surfaces.surfaces[surface_number]
+        coeffs = list(s.coefficients)
+        while len(coeffs) <= coeff_number:
+            coeffs.append(0.0)
+        coeffs[coeff_number] = value
+        s.coefficients = tuple(coeffs)
+        self._invalidate()
+
+    def scale_system(self, scale_factor: float):
+        """Scale all lengths by a factor (reference: optic_updater.py)."""
+        for s in self.surfaces.surfaces:
+            if np.isfinite(s.radius):
+                s.radius *= scale_factor
+            if np.isfinite(s.thickness):
+                s.thickness *= scale_factor
+            if s.aperture is not None:
+                s.aperture *= scale_factor
+        if self.aperture and self.aperture.ap_type == "EPD":
+            self.aperture = Aperture("EPD", self.aperture.value * scale_factor)
+        self._invalidate()
+
+    def update(self):
+        """Re-apply pickups then solves (reference: optic_updater.py update)."""
+        self.pickups.apply()
+        self.solves.apply()
+        self._invalidate()
+
+    def image_solve(self):
+        """Quick-focus the image plane (reference: optic_updater.py)."""
+        from optiland_tpu.solves import QuickFocusSolve
+
+        QuickFocusSolve(self).apply()
+
+    def flip(self):
+        """Reverse the optical system (reference: surface_group.py:458-552)."""
+        surfs = self.surfaces.surfaces
+        inner = surfs[1:-1]
+        # reverse element order; radii change sign; thickness shifts by one
+        thicknesses = [s.thickness for s in inner]
+        new_inner = list(reversed(inner))
+        mats = [s.material for s in inner]
+        new_mats = ["air"] + list(reversed(mats))[:-1] if mats else []
+        for i, s in enumerate(new_inner):
+            if np.isfinite(s.radius):
+                s.radius = -s.radius
+            s.material = new_mats[i] if i < len(new_mats) else "air"
+        rev_thick = list(reversed(thicknesses[:-1])) + [thicknesses[-1]]
+        for s, t in zip(new_inner, rev_thick):
+            s.thickness = t
+        self.surfaces.surfaces = [surfs[0]] + new_inner + [surfs[-1]]
+        self._invalidate()
 
     # ---------------- compilation ----------------
 
@@ -441,7 +542,12 @@ class Optic:
             ry=jnp.asarray([float(s.ry) for s in surfs], dt),
             rz=jnp.asarray([float(s.rz) for s in surfs], dt),
             ap_max=jnp.asarray(
-                [np.inf if s.aperture is None else float(s.aperture) / 2 for s in surfs],
+                [
+                    float(s.aperture) / 2
+                    if isinstance(s.aperture, (int, float))
+                    else np.inf
+                    for s in surfs
+                ],
                 dt,
             ),
             mat_coeffs=jnp.stack([jnp.asarray(m.padded_coefficients, dt) for m in mats]),
@@ -473,6 +579,17 @@ class Optic:
             mat_formulas=tuple(int(m.formula_code) for m in mats),
             reflective=tuple(bool(s._is_reflective) for s in surfs),
             geom_aux=geom_aux,
+            apertures=tuple(
+                s.aperture if not isinstance(s.aperture, (int, float, type(None)))
+                else None
+                for s in surfs
+            ),
+            interactions=tuple(
+                ("thin_lens",) if s.surface_type == "paraxial"
+                else ("phase", s.phase_profile) if s.phase_profile is not None
+                else None
+                for s in surfs
+            ),
             has_tilts=has_rot,
             has_absorption=has_abs,
             aperture_type=self.aperture.ap_type,
@@ -524,7 +641,8 @@ class Optic:
         Px_full = np.tile(Px, nf)
         Py_full = np.tile(Py, nf)
         final, history = _trace_jit()(
-            self.system, Hx_full, Hy_full, Px_full, Py_full, wavelength, record
+            self.system, Hx_full, Hy_full, Px_full, Py_full, wavelength, record,
+            self.apodization,
         )
         return TraceResult(final, history)
 
@@ -538,6 +656,6 @@ class Optic:
             np.atleast_1d(np.asarray(Py, float)),
         )
         final, history = _trace_jit()(
-            self.system, Hx, Hy, Px, Py, wavelength, record
+            self.system, Hx, Hy, Px, Py, wavelength, record, self.apodization
         )
         return TraceResult(final, history)

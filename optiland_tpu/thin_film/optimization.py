@@ -1,0 +1,190 @@
+"""Thin-film coating optimization: spectral operands, thickness variables,
+gradient optimization, and needle synthesis.
+
+The reference builds a SciPy loop with finite differences
+(reference: optiland/thin_film/optimization/optimizer.py:68,
+operand/core.py:26-455, variable/layer_thickness.py:20, needle.py:45-82).
+Here the merit is a jitted function of the thickness vector with exact
+gradients; needle synthesis evaluates candidate insertions by merit
+improvement.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class LayerThicknessVariable:
+    """One optimizable layer thickness with bounds
+    (reference: thin_film/optimization/variable/layer_thickness.py:20)."""
+
+    def __init__(self, layer_index: int, min_um: float = 1e-4,
+                 max_um: float = 2.0):
+        self.layer_index = layer_index
+        self.min_um = min_um
+        self.max_um = max_um
+
+
+class SpectralOperand:
+    """One merit term: a quantity (R/T/A) at wavelength/angle vs a target."""
+
+    def __init__(self, quantity: str, wavelength_nm, aoi_deg=0.0, pol="s",
+                 target=0.0, weight=1.0):
+        self.quantity = quantity
+        self.wavelength_um = np.asarray(wavelength_nm, float) * 1e-3
+        self.aoi_rad = np.deg2rad(np.asarray(aoi_deg, float))
+        self.pol = pol
+        self.target = np.asarray(target, float)
+        self.weight = weight
+
+    def delta(self, stack, thicknesses):
+        idx = {"R": 2, "T": 3, "A": 4}[self.quantity]
+        val = stack.compute_rtRTA(
+            self.wavelength_um, self.aoi_rad, self.pol, thicknesses=thicknesses
+        )[idx]
+        return jnp.ravel(val - self.target)
+
+
+class ThinFilmOptimizer:
+    """Gradient coating optimizer with a fluent API
+    (reference: thin_film/optimization/optimizer.py:68)."""
+
+    def __init__(self, stack):
+        self.stack = stack
+        self.operands: list[SpectralOperand] = []
+        self.variables: list[LayerThicknessVariable] = []
+
+    def add_variable(self, layer_index: int, min_um: float = 1e-4,
+                     max_um: float = 2.0):
+        self.variables.append(LayerThicknessVariable(layer_index, min_um, max_um))
+        return self
+
+    def add_all_thickness_variables(self, min_um: float = 1e-4,
+                                    max_um: float = 2.0):
+        for i in range(len(self.stack.layers)):
+            self.add_variable(i, min_um, max_um)
+        return self
+
+    def add_operand(self, quantity: str, wavelength_nm, aoi_deg=0.0, pol="s",
+                    target=0.0, weight=1.0):
+        self.operands.append(
+            SpectralOperand(quantity, wavelength_nm, aoi_deg, pol, target, weight)
+        )
+        return self
+
+    add_spectral_operand = add_operand
+
+    def add_angular_operand(self, quantity: str, wavelength_nm, aoi_deg,
+                            pol="s", target=0.0, weight=1.0):
+        return self.add_operand(quantity, wavelength_nm, aoi_deg, pol, target, weight)
+
+    # ------------------------------------------------------------------
+
+    def _thickness_vector(self):
+        return jnp.asarray([l.thickness_um for l in self.stack.layers])
+
+    def _merit(self, d_var):
+        d_full = self._thickness_vector()
+        for i, var in enumerate(self.variables):
+            d_full = d_full.at[var.layer_index].set(
+                jnp.clip(d_var[i], var.min_um, var.max_um)
+            )
+        total = 0.0
+        for op in self.operands:
+            delta = op.delta(self.stack, d_full)
+            total = total + op.weight * jnp.sum(delta**2)
+        return total
+
+    def sum_squared(self):
+        x0 = jnp.asarray(
+            [self.stack.layers[v.layer_index].thickness_um for v in self.variables]
+        )
+        return float(self._merit(x0))
+
+    def rss(self):
+        return float(np.sqrt(self.sum_squared()))
+
+    def optimize(self, method: str = "L-BFGS-B", maxiter: int = 200,
+                 apply: bool = True):
+        """SciPy optimization with exact JAX gradient."""
+        from scipy import optimize as sciopt
+
+        vg = jax.jit(jax.value_and_grad(self._merit))
+        x0 = np.asarray(
+            [self.stack.layers[v.layer_index].thickness_um for v in self.variables]
+        )
+
+        def fun(x):
+            v, g = vg(jnp.asarray(x))
+            return float(v), np.asarray(g, float)
+
+        bounds = [(v.min_um, v.max_um) for v in self.variables]
+        res = sciopt.minimize(
+            fun, x0, jac=True, method=method, bounds=bounds,
+            options={"maxiter": maxiter},
+        )
+        if apply:
+            for i, var in enumerate(self.variables):
+                self.stack.layers[var.layer_index].thickness_um = float(
+                    np.clip(res.x[i], var.min_um, var.max_um)
+                )
+        return res
+
+    def get_current_performance(self):
+        return {"merit": self.sum_squared(), "rss": self.rss()}
+
+
+def needle_synthesis(
+    optimizer: ThinFilmOptimizer,
+    needle_material,
+    needle_thickness_um: float = 0.005,
+    num_positions: int = 20,
+    max_needles: int = 5,
+    reoptimize_iters: int = 100,
+):
+    """Needle insertion synthesis (reference:
+    thin_film/optimization/needle.py:45-82): repeatedly insert a thin
+    "needle" layer at the position that most reduces the merit, then
+    reoptimize all thicknesses; stop when no insertion improves.
+    """
+    stack = optimizer.stack
+    history = [optimizer.sum_squared()]
+    for _ in range(max_needles):
+        base_merit = optimizer.sum_squared()
+        best = None
+        total_d = sum(l.thickness_um for l in stack.layers)
+        if total_d <= 0 or not stack.layers:
+            break
+        for frac in np.linspace(0.05, 0.95, num_positions):
+            depth = frac * total_d
+            # locate the layer containing this depth
+            z = 0.0
+            for li, layer in enumerate(stack.layers):
+                if z + layer.thickness_um >= depth:
+                    pos_frac = (depth - z) / max(layer.thickness_um, 1e-12)
+                    trial = stack.copy()
+                    trial.split_layer(li, pos_frac)
+                    trial.insert_layer(li + 1, needle_material, needle_thickness_um)
+                    trial_opt = ThinFilmOptimizer(trial)
+                    trial_opt.operands = optimizer.operands
+                    trial_opt.add_all_thickness_variables()
+                    merit = trial_opt.sum_squared()
+                    if best is None or merit < best[0]:
+                        best = (merit, li, pos_frac)
+                    break
+                z += layer.thickness_um
+        if best is None or best[0] >= base_merit:
+            break
+        _, li, pos_frac = best
+        stack.split_layer(li, pos_frac)
+        stack.insert_layer(li + 1, needle_material, needle_thickness_um)
+        optimizer.variables = []
+        optimizer.add_all_thickness_variables()
+        optimizer.optimize(maxiter=reoptimize_iters)
+        new_merit = optimizer.sum_squared()
+        history.append(new_merit)
+        if new_merit >= base_merit - 1e-12:
+            break
+    return history
