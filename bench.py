@@ -8,8 +8,11 @@ The baseline 2e8 is the reference's best published number (150-200 M
 ray-surfaces/s on GPU, reference docs/functionalities.rst:112). The driver
 target (BASELINE.json) is >1e9/chip fwd+bwd.
 
+Uses the fused Pallas trace kernels (forward + in-kernel-VJP backward) when
+the system structure supports them, falling back to the XLA path otherwise.
 Runs in float32 on the available accelerator (float64 is software-emulated
-on TPU; parity suites use x64 on CPU instead).
+on TPU; parity suites use x64 on CPU instead). Pupil samples are generated
+on-device (host transfers over tunneled TPU links are slow).
 """
 
 from __future__ import annotations
@@ -24,51 +27,75 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from optiland_tpu.analysis.spot import spot_coordinates  # noqa: E402
+from optiland_tpu.core import raygen, trace as xla_trace  # noqa: E402
+from optiland_tpu.ops.pallas_trace import pallas_supported, trace_fast  # noqa: E402
 from optiland_tpu.samples import CookeTriplet  # noqa: E402
 
-NUM_RAYS = int(os.environ.get("BENCH_RAYS", 4_000_000))
-ITERS = int(os.environ.get("BENCH_ITERS", 20))
+NUM_RAYS = int(os.environ.get("BENCH_RAYS", 16_000_000))
+ITERS = int(os.environ.get("BENCH_ITERS", 8))
+WAVELENGTH = 0.55
 
 
 def main():
     lens = CookeTriplet()
     system = lens.system
-    cfg = system.cfg
-    num_traced_surfaces = cfg.num_surfaces - 1  # object surface is a no-op
+    num_traced_surfaces = system.cfg.num_surfaces - 1
+    on_tpu = jax.default_backend() != "cpu"
+    use_pallas = pallas_supported(system) and on_tpu
 
-    rng = np.random.default_rng(0)
-    r = np.sqrt(rng.uniform(size=NUM_RAYS))
-    th = rng.uniform(0, 2 * np.pi, size=NUM_RAYS)
-    Px = jnp.asarray(r * np.cos(th), jnp.float32)
-    Py = jnp.asarray(r * np.sin(th), jnp.float32)
-    Hx = jnp.zeros_like(Px)
-    Hy = jnp.full_like(Px, 0.7)
+    def gen(key, sys_):
+        k1, k2 = jax.random.split(key)
+        r = jnp.sqrt(jax.random.uniform(k1, (NUM_RAYS,), jnp.float32))
+        th = jax.random.uniform(k2, (NUM_RAYS,), jnp.float32, 0, 2 * np.pi)
+        Px = r * jnp.cos(th)
+        Py = r * jnp.sin(th)
+        H = jnp.zeros_like(Px)
+        return raygen.generate_rays(
+            sys_, H, jnp.full_like(Px, 0.7), Px, Py, WAVELENGTH
+        )
 
-    def merit(stack):
-        sys2 = system.replace(stack=stack)
-        x, y, _ = spot_coordinates(sys2, Hx, Hy, Px, Py, 0.55)
+    def final_xy(sys_, rays_):
+        if use_pallas:
+            out = trace_fast(sys_, rays_, WAVELENGTH)
+        else:
+            out, _ = xla_trace.trace(sys_, rays_, record=False)
+        return out.x, out.y
+
+    # End-to-end step: on-device ray generation + trace (+ merit/grad).
+    # Inputs vary per iteration (PRNG key) so no execution/result caching
+    # layer between host and device can shortcut the measurement.
+    def merit(key, stack):
+        sys_ = system.replace(stack=stack)
+        x, y = final_xy(sys_, gen(key, sys_))
         return jnp.mean((x - jnp.mean(x)) ** 2 + (y - jnp.mean(y)) ** 2)
 
-    fwdbwd = jax.jit(jax.value_and_grad(merit))
-    fwd = jax.jit(merit)
+    fwdbwd = jax.jit(jax.value_and_grad(merit, argnums=1))
+    fwd = jax.jit(
+        lambda key, stack: final_xy(
+            system.replace(stack=stack), gen(key, system.replace(stack=stack))
+        )
+    )
 
-    # Warmup / compile
-    v, g = fwdbwd(system.stack)
+    keys = [jax.random.PRNGKey(k) for k in range(2 * ITERS + 2)]
+    v, g = fwdbwd(keys[-1], system.stack)
     jax.block_until_ready((v, g))
-    jax.block_until_ready(fwd(system.stack))
+    jax.block_until_ready(fwd(keys[-2], system.stack))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        v, g = fwdbwd(system.stack)
-    jax.block_until_ready((v, g))
-    t_fwdbwd = (time.perf_counter() - t0) / ITERS
+    ts = []
+    for k in range(ITERS):
+        t0 = time.perf_counter()
+        v, g = fwdbwd(keys[k], system.stack)
+        jax.block_until_ready((v, g))
+        ts.append(time.perf_counter() - t0)
+    t_fwdbwd = float(np.median(ts))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        v = fwd(system.stack)
-    jax.block_until_ready(v)
-    t_fwd = (time.perf_counter() - t0) / ITERS
+    ts = []
+    for k in range(ITERS):
+        t0 = time.perf_counter()
+        o = fwd(keys[ITERS + k], system.stack)
+        jax.block_until_ready(o)
+        ts.append(time.perf_counter() - t0)
+    t_fwd = float(np.median(ts))
 
     rs_fwdbwd = NUM_RAYS * num_traced_surfaces / t_fwdbwd
     rs_fwd = NUM_RAYS * num_traced_surfaces / t_fwd
@@ -86,6 +113,7 @@ def main():
                     "num_traced_surfaces": int(num_traced_surfaces),
                     "t_fwdbwd_s": t_fwdbwd,
                     "t_fwd_s": t_fwd,
+                    "kernel": "pallas" if use_pallas else "xla",
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -15,6 +15,7 @@ rather than cached Python attributes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from optiland_tpu.core.system import System, n_all, positions
@@ -97,6 +98,164 @@ def trace_generic(
         slopes.append(u_)
 
     return jnp.stack(heights), jnp.stack(slopes)
+
+
+def _scan_trace(R, n, pos, refl_mask, obj_mask, y0, u0, z0, start,
+                thin_mask=None, f_thin=None, reverse: bool = False):
+    """Batched paraxial trace as a single lax.scan.
+
+    All of (y0, u0, z0, start) are (B,) columns traced simultaneously;
+    column b only starts updating at surface index >= start[b]. Returns the
+    final (y, u) plus the stacked per-surface histories (S, B). One fused
+    kernel per surface instead of one kernel per scalar op — critical on
+    TPU where the unrolled scalar chain costs ~0.2 ms per op.
+    """
+    S = R.shape[0]
+    power = jnp.diff(n, prepend=n[:1]) / R
+    n_prev = jnp.roll(n, 1)
+    ks = jnp.arange(S)
+    if thin_mask is None:
+        thin_mask = jnp.zeros((S,), bool)
+        f_thin = jnp.ones((S,))
+    f_sign = -1.0 if reverse else 1.0
+
+    def body(carry, xs):
+        y, u, z = carry
+        k, Rk, nk, nk1, posk, powk, reflk, objk, think, fk = xs
+        active = (k >= start) & (~objk)
+        t = posk - z
+        y_new = y + t * u
+        u_refl = jnp.where(
+            think, -u - y_new / (f_sign * fk), -u - 2 * y_new / Rk
+        )
+        u_refr = jnp.where(
+            think,
+            (nk1 * u - y_new / fk) / nk,
+            (nk1 * u - y_new * powk) / nk,
+        )
+        u_new = jnp.where(reflk, u_refl, u_refr)
+        y = jnp.where(active, y_new, y)
+        u = jnp.where(active, u_new, u)
+        z = jnp.where(active, posk, z)
+        return (y, u, z), (y, u)
+
+    (y, u, _), (ys, us) = jax.lax.scan(
+        body, (y0, u0, z0),
+        (ks, R, n, n_prev, pos, power, refl_mask, obj_mask, thin_mask, f_thin),
+    )
+    return y, u, ys, us
+
+
+def abcd_prefix(system: System, wavelength=None):
+    """Prefix products of per-surface ray-transfer (ABCD) matrices.
+
+    The paraxial trace is a linear map, so the state at every surface is a
+    2x2 matrix product — computed here with ``jax.lax.associative_scan`` in
+    log2(S) batched matmul levels. This replaces sequential scalar chains
+    (hundreds of tiny kernels) with ~15 fused vector ops, which matters
+    enormously when per-kernel overhead dominates (remote/tunneled TPUs).
+
+    Returns P of shape (S, 2, 2): P[k] maps (y, u) at the surface-1 vertex
+    plane (object space) to (y, u) just after surface k. P[0] = identity.
+    """
+    cfg = system.cfg
+    S = cfg.num_surfaces
+    R, n, pos, _ = _paraxial_arrays(system, wavelength)
+    refl = jnp.asarray(cfg.reflective)
+    inter = cfg.interactions if cfg.interactions is not None else (None,) * S
+    thin = jnp.asarray([i is not None and i[0] == "thin_lens" for i in inter])
+    f_thin = system.stack.geo_p1
+
+    n_prev = jnp.roll(n, 1)
+    power = (n - n_prev) / R
+
+    # Refraction/reflection matrix per surface:
+    #   refract: [[1, 0], [-power/n, n_prev/n]]
+    #   reflect: [[1, 0], [-2/R, -1]]
+    #   thin lens: [[1, 0], [-1/(f n), n_prev/n]] (reflective: [[1,0],[-1/f,-1]])
+    c_refr = jnp.where(thin, -1.0 / (f_thin * n), -power / n)
+    d_refr = n_prev / n
+    c_refl = jnp.where(thin, -1.0 / f_thin, -2.0 / R)
+    d_refl = -jnp.ones_like(R)
+    C = jnp.where(refl, c_refl, c_refr)
+    D = jnp.where(refl, d_refl, d_refr)
+
+    # Translation from the previous surface (surface 1: zero)
+    t = pos - jnp.roll(pos, 1)
+    t = t.at[1].set(0.0)
+
+    ones = jnp.ones_like(R)
+    zeros = jnp.zeros_like(R)
+    # step = refraction @ translation
+    #      = [[1, t], [C, C t + D]]
+    step = jnp.stack(
+        [
+            jnp.stack([ones, t], axis=-1),
+            jnp.stack([C, C * t + D], axis=-1),
+        ],
+        axis=-2,
+    )  # (S, 2, 2)
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=R.dtype), (S, 2, 2))
+    # object surface (row 0) contributes nothing
+    step = jnp.where(jnp.arange(S)[:, None, None] == 0, eye, step)
+
+    def combine(a, b):
+        return jnp.einsum("...ij,...jk->...ik", b, a)
+
+    return jax.lax.associative_scan(combine, step, axis=0)
+
+
+def pupil_scalars(system: System):
+    """(EPL, EPD) from ABCD prefix products (fast path for raygen).
+
+    Mathematically identical to EPL(system)/EPD(system); compiles to a
+    handful of fused ops instead of hundreds of sequential scalar kernels.
+    """
+    cfg = system.cfg
+    stack = system.stack
+    stop_index = cfg.stop_index
+    pos = positions(stack)
+    P = abcd_prefix(system)
+
+    # EPL: the entrance pupil is the object-space image of the stop —
+    # rays through the stop center satisfy A y1 + B u1 = 0 with
+    # y1 = -u1 z_EP, so z_EP = B/A (relative to surface 1).
+    if stop_index == 1:
+        epl = pos[1]
+    else:
+        epl = P[stop_index, 0, 1] / P[stop_index, 0, 0]
+
+    ap = cfg.aperture_type
+    v = system.aperture_value
+    if ap == "EPD":
+        epd = v
+    elif ap == "imageFNO":
+        # EFL = -1/C of the full system matrix
+        f2v = -1.0 / P[-1, 1, 0]
+        epd = f2v / v
+    elif ap == "objectNA":
+        from optiland_tpu.core.system import n_of
+
+        n0 = n_of(
+            cfg.mat_formulas[0], stack.mat_coeffs[0], stack.ntab[0],
+            system.primary_wavelength,
+        )
+        u0 = jnp.arcsin(v / n0)
+        epd = 2 * (epl - pos[0]) * jnp.tan(u0)
+    elif ap == "float_by_stop_size":
+        if cfg.obj_infinite:
+            # marginal ray y=1, u=0: y_stop = A_stop
+            epd = v / P[stop_index, 0, 0]
+        else:
+            obj_z = pos[0]
+            # ray y=0, u=0.1 from the object: y1 = -0.1 obj_z at surface 1
+            y_stop = P[stop_index, 0, 0] * (-0.1 * obj_z) + P[stop_index, 0, 1] * 0.1
+            u0 = 0.1 * v / y_stop
+            epd = u0 * (epl - obj_z)
+    else:
+        raise ValueError(f"Unknown aperture type: {ap}")
+
+    return epl, epd
 
 
 def f1(system: System):

@@ -38,7 +38,8 @@ def _starting_z_offset(system: System):
     return paraxial.EPD(system) - jnp.min(z)
 
 
-def get_ray_origins(system: System, Hx, Hy, Px, Py, vx, vy):
+def get_ray_origins(system: System, Hx, Hy, Px, Py, vx, vy,
+                    epl=None, epd=None):
     """Ray origin positions for the configured field definition."""
     ft = system.cfg.field_type
     fx, fy = system.field_x, system.field_y
@@ -48,10 +49,10 @@ def get_ray_origins(system: System, Hx, Hy, Px, Py, vx, vy):
     pos = positions(system.stack)
 
     if ft == "angle":
-        epl = paraxial.EPL(system)
+        if epl is None:
+            epl, epd = paraxial.pupil_scalars(system)
         if system.cfg.obj_infinite:
-            epd = paraxial.EPD(system)
-            offset = _starting_z_offset(system)
+            offset = epd - jnp.min(pos[1:-1])
             x = -jnp.tan(jnp.radians(field_x)) * (offset + epl)
             y = -jnp.tan(jnp.radians(field_y)) * (offset + epl)
             z = pos[1] - offset
@@ -103,7 +104,9 @@ def aim_rays_paraxial(system: System, Hx, Hy, Px, Py):
     vx = 1 - vxf
     vy = 1 - vyf
 
-    x0, y0, z0 = get_ray_origins(system, Hx, Hy, Px, Py, vx, vy)
+    epl, epd = paraxial.pupil_scalars(system)
+    x0, y0, z0 = get_ray_origins(system, Hx, Hy, Px, Py, vx, vy,
+                                 epl=epl, epd=epd)
 
     if system.cfg.obj_telecentric:
         sin = system.aperture_value
@@ -112,8 +115,6 @@ def aim_rays_paraxial(system: System, Hx, Hy, Px, Py):
         x1 = Px * vx + x0
         y1 = Py * vy + y0
     else:
-        epl = paraxial.EPL(system)
-        epd = paraxial.EPD(system)
         x1 = Px * epd * vx / 2
         y1 = Py * epd * vy / 2
         z1 = jnp.full_like(Px, epl)

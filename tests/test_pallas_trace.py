@@ -1,0 +1,88 @@
+"""Pallas fused-trace kernel tests (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optiland_tpu.core import raygen, trace as xla_trace
+from optiland_tpu.ops.pallas_trace import pallas_supported, trace_fast
+from optiland_tpu.samples import AsphericSinglet, CookeTriplet
+from tests.conftest import assert_allclose
+
+
+def _bundle(system, n=700, wl=0.55, seed=0):
+    rng = np.random.default_rng(seed)
+    r = np.sqrt(rng.uniform(size=n)) * 0.95
+    th = rng.uniform(0, 2 * np.pi, n)
+    Px = jnp.asarray(r * np.cos(th))
+    Py = jnp.asarray(r * np.sin(th))
+    H = jnp.zeros(n)
+    return raygen.generate_rays(system, H, H, Px, Py, wl)
+
+
+@pytest.mark.parametrize("cls", [CookeTriplet, AsphericSinglet])
+def test_pallas_matches_xla_forward(cls):
+    lens = cls()
+    system = lens.system
+    wl = lens.primary_wavelength
+    assert pallas_supported(system)
+    rays = _bundle(system, wl=wl)
+    ref, _ = xla_trace.trace(system, rays, record=False)
+    fast = trace_fast(system, rays, wl)
+    for name in ("x", "y", "z", "L", "M", "N", "i", "opd"):
+        assert_allclose(
+            getattr(fast, name), getattr(ref, name), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_pallas_gradients_match_xla():
+    lens = CookeTriplet()
+    system = lens.system
+    rays = _bundle(system)
+
+    def merit_pallas(stack):
+        f = trace_fast(system.replace(stack=stack), rays, 0.55)
+        return jnp.mean(f.y**2) + jnp.mean(f.opd) * 1e-3
+
+    def merit_xla(stack):
+        out, _ = xla_trace.trace(system.replace(stack=stack), rays, record=False)
+        return jnp.mean(out.y**2) + jnp.mean(out.opd) * 1e-3
+
+    gp = jax.grad(merit_pallas)(system.stack)
+    gx = jax.grad(merit_xla)(system.stack)
+    assert_allclose(gp.radius, gx.radius, rtol=1e-6, atol=1e-12)
+    assert_allclose(gp.thickness, gx.thickness, rtol=1e-6, atol=1e-12)
+    assert_allclose(gp.conic, gx.conic, rtol=1e-6, atol=1e-12)
+
+
+def test_pallas_aspheric_coeff_gradients():
+    lens = AsphericSinglet()
+    system = lens.system
+    rays = _bundle(system, wl=0.587)
+
+    def merit(stack):
+        f = trace_fast(system.replace(stack=stack), rays, 0.587)
+        return jnp.mean(f.y**2)
+
+    g = jax.grad(merit)(system.stack)
+    c = np.asarray(g.coeffs)[1, :3]
+    assert np.isfinite(c).all() and (c != 0).any()
+
+
+def test_pallas_unsupported_structures():
+    lens = CookeTriplet()
+    lens.surfaces.surfaces[1].rx = 0.1  # tilt -> unsupported
+    lens._invalidate()
+    assert not pallas_supported(lens.system)
+
+
+def test_abcd_pupil_scalars_match_reference_path():
+    from optiland_tpu.core import paraxial
+    from optiland_tpu.samples import DoubleGauss
+
+    for cls in (CookeTriplet, DoubleGauss):
+        s = cls().system
+        epl, epd = paraxial.pupil_scalars(s)
+        assert_allclose(float(epl), float(paraxial.EPL(s)), rtol=1e-11)
+        assert_allclose(float(epd), float(paraxial.EPD(s)), rtol=1e-11)
