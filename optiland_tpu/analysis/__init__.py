@@ -14,6 +14,7 @@ from optiland_tpu.analysis.fans_and_fields import (
     RmsWavefrontErrorVsField,
     YYbar,
 )
+from optiland_tpu.analysis.jones_pupil import JonesPupil
 from optiland_tpu.analysis.opd import OPD, OPDFan, ZernikeOPD
 from optiland_tpu.analysis.spot import SpotDiagram, SpotData, rms_spot_size
 
@@ -22,6 +23,7 @@ __all__ = [
     "EncircledEnergy",
     "FieldCurvature",
     "GridDistortion",
+    "JonesPupil",
     "OPD",
     "OPDFan",
     "PupilAberration",

@@ -91,6 +91,9 @@ class SystemConfig:
     # ("thin_lens",) = ideal lens with f in stack.geo_p1,
     # ("phase", profile) = generalized Snell via a BasePhaseProfile.
     interactions: tuple = None
+    coatings: tuple = None  # tuple[BaseCoating|None], static per surface
+    bsdfs: tuple = None  # tuple[BaseBSDF|None], static per surface
+    polarized: bool = False  # carry the 3x3 polarization matrix p
     has_tilts: bool = False
     has_absorption: bool = False
     aperture_type: str = "EPD"

@@ -33,7 +33,7 @@ from optiland_tpu.ops import kernels
 
 def _surface_step(stack, cfg, s, pos_s, state):
     """Trace the ray bundle through surface ``s`` (static index)."""
-    x, y, z, L, M, N, inten, opd, w, n_pre = state
+    x, y, z, L, M, N, inten, opd, w, n_pre, p, key = state
     radius = stack.radius[s]
     conic = stack.conic[s]
     coeffs = stack.coeffs[s]
@@ -79,6 +79,8 @@ def _surface_step(stack, cfg, s, pos_s, state):
     nx, ny, nz = geom.surface_normal_static(
         code, radius, conic, coeffs, x, y, p1=p1, p2=p2, aux=aux
     )
+    nx_raw, ny_raw, nz_raw = nx, ny, nz
+    L0, M0, N0 = L, M, N  # pre-interaction directions
     inter = cfg.interactions[s] if cfg.interactions is not None else None
     if inter is not None and inter[0] == "thin_lens":
         # Ideal thin lens with focal length f = geo_p1
@@ -153,6 +155,38 @@ def _surface_step(stack, cfg, s, pos_s, state):
         L, M, N = kernels.refract(L, M, N, nx, ny, nz, n_pre, n_post)
         n_next = n_post
 
+    # BSDF scatter then coating (reference: interactions/base.py:111-128)
+    bsdf = cfg.bsdfs[s] if cfg.bsdfs is not None else None
+    if bsdf is not None:
+        import jax
+
+        key, sub = jax.random.split(key)
+        # scatter about the normal aligned with the outgoing hemisphere
+        sgn_out = jnp.sign(L * nx_raw + M * ny_raw + N * nz_raw)
+        L, M, N = bsdf.scatter(
+            sub, L, M, N, nx_raw * sgn_out, ny_raw * sgn_out, nz_raw * sgn_out
+        )
+
+    coat = cfg.coatings[s] if cfg.coatings is not None else None
+    refl_s = bool(cfg.reflective[s])
+    if coat is not None:
+        inten = inten * coat.intensity_factor(refl_s)
+    if p is not None:
+        from optiland_tpu.coatings import BaseCoating
+        from optiland_tpu.polarization import update_p
+
+        jones_model = coat.jones() if coat is not None else None
+        if jones_model is not None:
+            aoi = BaseCoating.compute_aoi(
+                L0, M0, N0, nx_raw, ny_raw, nz_raw
+            )
+            jm = jones_model.calculate_matrix(
+                L0, M0, N0, L, M, N, w, reflect=refl_s, aoi=aoi
+            )
+        else:
+            jm = None
+        p = update_p(p, L0, M0, N0, L, M, N, jm)
+
     # Globalize
     if cfg.has_tilts:
         y, z, M, N = kernels.rotate_x(y, z, M, N, stack.rx[s])
@@ -162,10 +196,10 @@ def _surface_step(stack, cfg, s, pos_s, state):
     y = y + stack.dy[s]
     z = z + pos_s
 
-    return (x, y, z, L, M, N, inten, opd, w, n_next)
+    return (x, y, z, L, M, N, inten, opd, w, n_next, p, key)
 
 
-def trace(system: System, rays: RealRays, record: bool = True):
+def trace(system: System, rays: RealRays, record: bool = True, key=None):
     """Trace a ray bundle through every surface of the system.
 
     Args:
@@ -175,16 +209,26 @@ def trace(system: System, rays: RealRays, record: bool = True):
             launch state as row 0 (matching the reference's recorded arrays
             incl. the object-surface row,
             reference: surfaces/surface_group.py:108-153).
+        key: PRNG key, required when any surface has a BSDF.
 
     Returns:
         (final_rays, history) — history is a dict of (S, R) arrays
-        (x, y, z, L, M, N, intensity, opd) or None when record=False.
+        (x, y, z, L, M, N, intensity, opd) or None when record=False. For
+        polarized systems (cfg.polarized), history additionally carries the
+        final per-ray polarization matrices under "p".
     """
     stack, cfg = system.stack, system.cfg
     n0 = n_of(cfg.mat_formulas[0], stack.mat_coeffs[0], stack.ntab[0], rays.w)
+    has_bsdf = cfg.bsdfs is not None and any(b is not None for b in cfg.bsdfs)
+    if has_bsdf and key is None:
+        raise ValueError("A PRNG key is required to trace systems with BSDFs.")
+    p = None
+    if cfg.polarized:
+        R = rays.x.shape[0]
+        p = jnp.broadcast_to(jnp.eye(3, dtype=jnp.complex128), (R, 3, 3))
     state = (
         rays.x, rays.y, rays.z, rays.L, rays.M, rays.N, rays.i, rays.opd,
-        rays.w, n0,
+        rays.w, n0, p, key,
     )
     pos = positions(stack)
 
@@ -194,8 +238,10 @@ def trace(system: System, rays: RealRays, record: bool = True):
         if record:
             recs.append(state[:8])
 
-    x, y, z, L, M, N, inten, opd, w, _ = state
+    x, y, z, L, M, N, inten, opd, w, _, p, _ = state
     out = RealRays(x=x, y=y, z=z, L=L, M=M, N=N, i=inten, w=w, opd=opd)
+    if cfg.polarized:
+        out = out.replace(L0=rays.L, M0=rays.M, N0=rays.N)
 
     history = None
     if record:
@@ -207,4 +253,8 @@ def trace(system: System, rays: RealRays, record: bool = True):
             name: jnp.stack([launch[k]] + [r[k] for r in recs], axis=0)
             for k, name in enumerate(names)
         }
+        if cfg.polarized:
+            history["p"] = p
+    elif cfg.polarized:
+        history = {"p": p}
     return out, history

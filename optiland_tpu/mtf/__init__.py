@@ -15,8 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from optiland_tpu.core import paraxial as paraxial_core
-from optiland_tpu.psf.fft import calculate_grid_size, fft_psf
-from optiland_tpu.psf.huygens_fresnel import working_FNO
+from optiland_tpu.psf.fft import calculate_grid_size, fft_psf, vectorial_fft_psf
+from optiland_tpu.psf.huygens_fresnel import huygens_psf, working_FNO
 from optiland_tpu.wavefront import compute_wavefront_data
 
 
@@ -37,7 +37,13 @@ def mtf_from_psf(psf):
 
 
 class FFTMTF:
-    """FFT-based MTF (reference: mtf/fft.py:19 ScalarFFTMTF, :238 factory)."""
+    """FFT-based MTF (reference: mtf/fft.py:19 ScalarFFTMTF, :238 factory).
+
+    Acts as the reference's factory: uses the vectorial FFT PSF when the
+    optic carries a polarization state, the scalar one otherwise.
+    """
+
+    _force_vectorial = None  # subclasses pin True/False
 
     def __init__(
         self,
@@ -74,14 +80,28 @@ class FFTMTF:
         else:
             self.max_freq = max_freq
 
-        self.psf = [
-            fft_psf(
-                system, f[0], f[1], wavelength,
-                num_rays=num_rays, grid_size=grid_size, strategy=strategy,
-                remove_tilt=remove_tilt,
-            )
-            for f in fields
-        ]
+        vectorial = self._force_vectorial
+        if vectorial is None:
+            vectorial = getattr(optic, "polarization_state", None) is not None
+        if vectorial:
+            self.psf = [
+                vectorial_fft_psf(
+                    system, f[0], f[1], wavelength,
+                    num_rays=num_rays, grid_size=grid_size, strategy=strategy,
+                    remove_tilt=remove_tilt,
+                    pol_state=getattr(optic, "polarization_state", None),
+                )
+                for f in fields
+            ]
+        else:
+            self.psf = [
+                fft_psf(
+                    system, f[0], f[1], wavelength,
+                    num_rays=num_rays, grid_size=grid_size, strategy=strategy,
+                    remove_tilt=remove_tilt,
+                )
+                for f in fields
+            ]
         self.mtf = [mtf_from_psf(p) for p in self.psf]
 
         self.freq_tang = [
@@ -125,6 +145,111 @@ class FFTMTF:
         ax.set_ylabel("Modulation")
         ax.legend(fontsize=7)
         return fig, ax
+
+
+class ScalarFFTMTF(FFTMTF):
+    """Scalar-only FFT MTF (reference: mtf/fft.py:19)."""
+
+    _force_vectorial = False
+
+
+class VectorialFFTMTF(FFTMTF):
+    """Vectorial FFT MTF for polarized systems
+    (reference: mtf/vectorial_fft.py:17)."""
+
+    _force_vectorial = True
+
+
+class HuygensMTF:
+    """MTF from Huygens-Fresnel PSFs (reference: mtf/huygens_fresnel.py:31
+    ScalarHuygensMTF / :330 VectorialHuygensMTF via factory).
+
+    Per-field PSFs are computed with 4x-oversampled cutoff sampling and a
+    shared on-axis normalization; frequency steps come from the PSF pixel
+    pitch, with the tangential axis compressed by FNO_on/FNO_off.
+    """
+
+    _force_vectorial = None
+
+    def __init__(
+        self,
+        optic,
+        fields="all",
+        wavelength="primary",
+        num_rays: int = 128,
+        image_size: int = 128,
+        max_freq="cutoff",
+    ):
+        if wavelength == "primary":
+            wavelength = optic.primary_wavelength
+        if fields == "all":
+            fields = optic.fields.get_field_coords()
+        self.optic = optic
+        self.fields = fields
+        self.wavelength = wavelength
+        self.num_rays = num_rays
+        self.image_size = image_size
+
+        vectorial = self._force_vectorial
+        if vectorial is None:
+            vectorial = getattr(optic, "polarization_state", None) is not None
+        pol_state = getattr(optic, "polarization_state", None)
+
+        system = optic.system
+        self.FNO = [
+            float(working_FNO(system, f[0], f[1], wavelength)) for f in fields
+        ]
+        self.on_axis_fno = float(working_FNO(system, 0.0, 0.0, wavelength))
+        if max_freq == "cutoff":
+            self.max_freq = 1 / (wavelength * 1e-3 * self.on_axis_fno)
+        else:
+            self.max_freq = max_freq
+
+        # Shared normalization from the on-axis PSF (auto-extent grid)
+        _, _, normalization = huygens_psf(
+            system, 0.0, 0.0, wavelength, num_rays=num_rays,
+            image_size=image_size, pol_state=pol_state, vectorial=vectorial,
+        )
+
+        self.psf = []
+        self.pixel_pitch = []
+        for f in fields:
+            psf, pitch, _ = huygens_psf(
+                system, f[0], f[1], wavelength, num_rays=num_rays,
+                image_size=image_size, oversample=4.0,
+                normalization=normalization, pol_state=pol_state,
+                vectorial=vectorial,
+            )
+            self.psf.append(psf)
+            self.pixel_pitch.append(float(pitch))
+        self.mtf = [mtf_from_psf(p) for p in self.psf]
+
+        self.freq_tang = [
+            np.arange(image_size // 2) * self._df_tang(k)
+            for k in range(len(fields))
+        ]
+        self.freq_sag = [
+            np.arange(image_size // 2) * self._df_sag(k)
+            for k in range(len(fields))
+        ]
+        self.freq = self.freq_tang
+
+    def _df_tang(self, k):
+        df = 1.0 / (self.image_size * self.pixel_pitch[k])
+        return df * (self.on_axis_fno / self.FNO[k])
+
+    def _df_sag(self, k):
+        return 1.0 / (self.image_size * self.pixel_pitch[k])
+
+    view = FFTMTF.view
+
+
+class ScalarHuygensMTF(HuygensMTF):
+    _force_vectorial = False
+
+
+class VectorialHuygensMTF(HuygensMTF):
+    _force_vectorial = True
 
 
 def geometric_mtf_curve(x_img, freqs, num_points: int):

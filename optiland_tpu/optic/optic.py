@@ -63,6 +63,8 @@ class SurfaceDef:
     geo_p2: float = 1.0  # second conic / norm_y
     geo_aux: tuple | None = None  # static extras (e.g. ("fringe",) zernike)
     phase_profile: object = None  # BasePhaseProfile for phase interactions
+    coating: object = None  # BaseCoating or "fresnel"
+    bsdf: object = None  # BaseBSDF scatter model
 
     # resolved at compile time
     _material_obj: BaseMaterial | None = None
@@ -128,6 +130,8 @@ class SurfaceGroup:
             # ideal thin lens; focal length in geo_p1
             geo_p1 = kwargs.pop("f", kwargs.pop("focal_length", np.inf))
         phase_profile = kwargs.pop("phase_profile", None)
+        coating = kwargs.pop("coating", None)
+        bsdf = kwargs.pop("bsdf", None)
         sd = SurfaceDef(
             radius=radius,
             thickness=thickness,
@@ -148,6 +152,8 @@ class SurfaceGroup:
             geo_aux=geo_aux,
         )
         sd.phase_profile = phase_profile
+        sd.coating = coating
+        sd.bsdf = bsdf
         if index is None:
             index = len(self.surfaces)
         self.surfaces.insert(index, sd)
@@ -308,13 +314,24 @@ def _jitted_paraxial(name, system):
 
 @functools.lru_cache(maxsize=32)
 def _trace_jit():
-    def run(system, Hx, Hy, Px, Py, wavelength, record, apodization=None):
+    def run(system, Hx, Hy, Px, Py, wavelength, record, apodization=None,
+            pol_state=None, key=None):
         rays = raygen.generate_rays(
             system, Hx, Hy, Px, Py, wavelength, apodization=apodization
         )
-        return trace_core.trace(system, rays, record=record)
+        final, history = trace_core.trace(system, rays, record=record, key=key)
+        if system.cfg.polarized:
+            from optiland_tpu.polarization import polarized_intensity
 
-    return jax.jit(run, static_argnames=("record", "apodization"))
+            p = history["p"]
+            i_pol = polarized_intensity(
+                p, pol_state, rays.L, rays.M, rays.N, rays.i
+            )
+            final = final.replace(i=i_pol)
+            history["i0"] = rays.i
+        return final, history
+
+    return jax.jit(run, static_argnames=("record", "apodization", "pol_state"))
 
 
 class TraceResult:
@@ -328,6 +345,19 @@ class TraceResult:
             setattr(self, name, getattr(final, name))
         self.i = final.i
         self.intensity = final.i
+        if history is not None and "p" in history:
+            self.p = history["p"]
+            self._i0 = history.get("i0")
+
+    def get_exit_fields(self, state):
+        """Exit 3D E-field list for polarized traces
+        (reference: rays/polarized_rays.py:106-120)."""
+        from optiland_tpu.polarization import exit_fields
+
+        i0 = self._i0 if self._i0 is not None else jnp.ones_like(self.x)
+        return exit_fields(
+            self.p, state, self.rays.L0, self.rays.M0, self.rays.N0, i0
+        )
 
     def __repr__(self):
         return f"TraceResult({self.x.shape[0]} rays)"
@@ -368,8 +398,33 @@ class Optic:
         self.fields.set_type(field_type)
 
     def set_polarization(self, polarization):
+        """Set the polarization mode: "ignore", a PolarizationState, or a
+        named state string (reference: optic/optic.py set_polarization)."""
+        if isinstance(polarization, str) and polarization != "ignore":
+            from optiland_tpu.polarization import create_polarization
+
+            polarization = create_polarization(polarization)
         self.polarization = polarization
         self._invalidate()
+
+    def _pol_state(self):
+        if self.polarization == "ignore":
+            return None
+        return self.polarization
+
+    @property
+    def polarization_state(self):
+        return self._pol_state()
+
+    def _next_key(self):
+        """Fresh PRNG key for BSDF scattering traces (None if unused)."""
+        if not any(getattr(s, "bsdf", None) is not None
+                   for s in self.surfaces.surfaces):
+            return None
+        if not hasattr(self, "_key"):
+            self._key = jax.random.PRNGKey(0)
+        self._key, sub = jax.random.split(self._key)
+        return sub
 
     def set_apodization(self, apodization):
         self.apodization = apodization
@@ -564,6 +619,25 @@ class Optic:
         has_rot = any(s.rx != 0 or s.ry != 0 or s.rz != 0 for s in surfs)
         has_abs = any(m.has_absorption for m in mats)
 
+        # Resolve coatings ("fresnel" shorthand uses the adjacent materials;
+        # reference: surfaces/standard_surface.py:106-114 set_fresnel_coating)
+        from optiland_tpu.coatings import BaseCoating, FresnelCoating
+
+        coatings_resolved = []
+        for i, s in enumerate(surfs):
+            c = getattr(s, "coating", None)
+            if isinstance(c, str) and c.lower() == "fresnel":
+                mat_pre = mats[i - 1] if i > 0 else AIR
+                c = FresnelCoating(mat_pre, mats[i])
+            coatings_resolved.append(c)
+        if self.polarization == "ignore" and any(
+            c is not None and c.polarization_dependent for c in coatings_resolved
+        ):
+            raise ValueError(
+                "Polarization must be set when surfaces have "
+                "polarization-dependent coatings."
+            )
+
         if self.aperture is None:
             raise ValueError("No aperture is defined on the optical system.")
         if not self.wavelengths.wavelengths:
@@ -590,6 +664,9 @@ class Optic:
                 else None
                 for s in surfs
             ),
+            coatings=tuple(coatings_resolved),
+            bsdfs=tuple(getattr(s, "bsdf", None) for s in surfs),
+            polarized=self.polarization != "ignore",
             has_tilts=has_rot,
             has_absorption=has_abs,
             aperture_type=self.aperture.ap_type,
@@ -642,7 +719,7 @@ class Optic:
         Py_full = np.tile(Py, nf)
         final, history = _trace_jit()(
             self.system, Hx_full, Hy_full, Px_full, Py_full, wavelength, record,
-            self.apodization,
+            self.apodization, self._pol_state(), self._next_key(),
         )
         return TraceResult(final, history)
 
@@ -656,6 +733,7 @@ class Optic:
             np.atleast_1d(np.asarray(Py, float)),
         )
         final, history = _trace_jit()(
-            self.system, Hx, Hy, Px, Py, wavelength, record, self.apodization
+            self.system, Hx, Hy, Px, Py, wavelength, record, self.apodization,
+            self._pol_state(), self._next_key(),
         )
         return TraceResult(final, history)

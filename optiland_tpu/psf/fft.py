@@ -74,7 +74,59 @@ def fft_psf(
     return psf / norm * 100
 
 
-class FFTPSF:
+def vectorial_fft_psf(
+    system: System,
+    Hx,
+    Hy,
+    wavelength,
+    num_rays: int = 32,
+    grid_size: int = 64,
+    strategy: str = "chief_ray",
+    remove_tilt: bool = True,
+    pol_state=None,
+):
+    """Vectorial FFT PSF: incoherent sum over the Cartesian components of the
+    exit-pupil E-field for each incoherent polarization state
+    (reference: psf/vectorial_fft.py:17-85).
+
+    Requires a polarized system (cfg.polarized).
+    """
+    xg, yg, mask = pupil_grid_coords(num_rays)
+    data = compute_wavefront_data(
+        system, Hx, Hy, wavelength, xg[mask], yg[mask], strategy=strategy,
+        pol_state=pol_state,
+    )
+    if data.E_exits is None:
+        raise ValueError(
+            "E_exits must be populated in WavefrontData for the vectorial "
+            "FFT PSF. Enable polarization on the optic."
+        )
+    opd = data.opd
+    if remove_tilt:
+        opd = fit_and_remove_tilt(data)
+    is_valid = data.intensity > 0
+    phase = jnp.exp(-1j * 2 * jnp.pi * opd)
+
+    pad_before = (grid_size - num_rays) // 2
+    pad_after = pad_before + (grid_size - num_rays) % 2
+    idx = np.nonzero(mask)[0]
+
+    psf = jnp.zeros((grid_size, grid_size))
+    norm = 0.0
+    for E_exit in data.E_exits:
+        for comp in range(3):
+            amp = jnp.where(is_valid, E_exit[:, comp], 0.0)
+            vals = amp * phase
+            P = jnp.zeros((num_rays * num_rays,), dtype=vals.dtype)
+            P = P.at[idx].set(vals).reshape(num_rays, num_rays)
+            P = jnp.pad(P, ((pad_before, pad_after), (pad_before, pad_after)))
+            a = jnp.fft.fftshift(jnp.fft.fft2(P))
+            psf = psf + jnp.real(a * jnp.conj(a))
+            norm = norm + jnp.sum(jnp.abs(P)) ** 2
+    return psf / norm * 100
+
+
+class ScalarFFTPSF:
     """FFT PSF analysis (reference: psf/fft.py:42 ScalarFFTPSF + :290 factory).
 
     Args:
@@ -139,3 +191,16 @@ class FFTPSF:
         fig.colorbar(im, ax=ax)
         ax.set_title("FFT PSF")
         return fig, ax
+
+
+class FFTPSF(ScalarFFTPSF):
+    """FFT PSF factory: returns the vectorial implementation when the optic
+    carries a polarization state, else the scalar one
+    (reference: psf/fft.py:290-330 FFTPSF factory)."""
+
+    def __new__(cls, optic, *args, **kwargs):
+        if cls is FFTPSF and getattr(optic, "polarization_state", None) is not None:
+            from optiland_tpu.psf.vectorial import VectorialFFTPSF
+
+            return VectorialFFTPSF(optic, *args, **kwargs)
+        return super().__new__(cls)

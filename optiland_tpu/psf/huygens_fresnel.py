@@ -81,30 +81,40 @@ def huygens_psf_from_data(
     return jnp.abs(f.reshape(shape)) ** 2
 
 
-def huygens_psf(
-    system: System,
-    Hx,
-    Hy,
-    wavelength,
-    num_rays: int = 128,
-    image_size: int = 128,
-    strategy: str = "chief_ray",
-    chunk: int = 4096,
+def vectorial_huygens_psf_from_data(
+    data, image_x, image_y, image_z, wavelength_um, chunk: int = 4096
 ):
-    """Functional Huygens PSF on an auto-sized image grid.
+    """Incoherent sum of |field|^2 over the Cartesian E-components of each
+    incoherent polarization state (reference: psf/vectorial_huygens.py:51-106)."""
+    wl_mm = wavelength_um * 1e-3
+    opd_mm = data.opd * wl_mm
+    is_valid = data.intensity > 0
+    shape = image_x.shape
+    psf = jnp.zeros(shape)
+    for E_exit in data.E_exits:
+        for comp in range(3):
+            amp = jnp.where(is_valid, E_exit[:, comp], 0.0)
+            f = huygens_field(
+                image_x.ravel(), image_y.ravel(), image_z.ravel(),
+                data.pupil_x, data.pupil_y, data.pupil_z,
+                amp, opd_mm, wl_mm, data.radius, chunk=chunk,
+            )
+            psf = psf + jnp.abs(f.reshape(shape)) ** 2
+    return psf
 
-    Returns (psf, pixel_pitch_mm). Normalized so a diffraction-limited
-    system peaks at 100.
+
+def _image_grid(
+    system, Hx, Hy, wavelength, image_size,
+    oversample=None, pixel_pitch=None,
+):
+    """Image-plane sample grid centered on the beam centroid.
+
+    Half-extent comes from (in priority order) an explicit pixel pitch, the
+    oversampled optical cutoff, or the geometric/Airy footprint
+    (reference: psf/huygens_fresnel.py:147-210).
+    Returns (gx, gy, gz, pixel_pitch_mm).
     """
     from optiland_tpu.core import raygen, trace as trace_core
-    from optiland_tpu.psf.fft import pupil_grid_coords
-
-    xg, yg, mask = pupil_grid_coords(num_rays)
-    data = compute_wavefront_data(
-        system, Hx, Hy, wavelength, xg[mask], yg[mask], strategy=strategy
-    )
-
-    # Image center and geometric extent from a coarse trace
     from optiland_tpu.core.distributions import create_distribution
 
     dist = create_distribution("hexapolar")
@@ -122,36 +132,102 @@ def huygens_psf(
     cx = jnp.sum(final.x * w) / tw
     cy = jnp.sum(final.y * w) / tw
 
-    extent_geom = jnp.max(
-        jnp.where(valid, jnp.hypot(final.x - cx, final.y - cy), 0.0)
-    )
-    fno = working_FNO(system, Hx, Hy, wavelength)
-    extent_ideal = 5.0 * fno * 1.22 * wavelength * 1e-3
-    extent = jnp.maximum(extent_geom, extent_ideal)
+    if pixel_pitch is not None:
+        extent = 0.5 * image_size * pixel_pitch
+    elif oversample is not None:
+        fno = working_FNO(system, Hx, Hy, wavelength)
+        f_cutoff = 1.0 / (fno * wavelength * 1e-3)
+        pixel_pitch = 1.0 / (2 * oversample * f_cutoff)
+        extent = 0.5 * image_size * pixel_pitch
+    else:
+        extent_geom = jnp.max(
+            jnp.where(valid, jnp.hypot(final.x - cx, final.y - cy), 0.0)
+        )
+        fno = working_FNO(system, Hx, Hy, wavelength)
+        extent_ideal = 5.0 * fno * 1.22 * wavelength * 1e-3
+        extent = jnp.maximum(extent_geom, extent_ideal)
+        pixel_pitch = 2 * extent / image_size
 
     lin = jnp.linspace(-1.0, 1.0, image_size)
     gx = cx + extent * lin[None, :] * jnp.ones((image_size, 1))
     gy = cy + extent * lin[:, None] * jnp.ones((1, image_size))
     gz = jnp.full_like(gx, positions(system.stack)[-1])
+    return gx, gy, gz, pixel_pitch
 
-    psf = huygens_psf_from_data(data, gx, gy, gz, wavelength, chunk=chunk)
 
-    # Normalization: on-axis ideal pupil, single image point at the origin
-    if (Hx, Hy) != (0.0, 0.0):
-        data0 = compute_wavefront_data(
-            system, 0.0, 0.0, wavelength, xg[mask], yg[mask], strategy=strategy
+def huygens_psf(
+    system: System,
+    Hx,
+    Hy,
+    wavelength,
+    num_rays: int = 128,
+    image_size: int = 128,
+    strategy: str = "chief_ray",
+    chunk: int = 4096,
+    oversample=None,
+    pixel_pitch=None,
+    normalization=None,
+    pol_state=None,
+    vectorial: bool = False,
+):
+    """Functional Huygens PSF on an auto-sized image grid.
+
+    Returns (psf, pixel_pitch_mm, normalization). Normalized so a
+    diffraction-limited system peaks at 100. ``vectorial=True`` integrates
+    the three Cartesian exit-field components per incoherent polarization
+    state (requires a polarized system).
+    """
+    from optiland_tpu.psf.fft import pupil_grid_coords
+
+    xg, yg, mask = pupil_grid_coords(num_rays)
+    data = compute_wavefront_data(
+        system, Hx, Hy, wavelength, xg[mask], yg[mask], strategy=strategy,
+        pol_state=pol_state,
+    )
+    if vectorial and data.E_exits is None:
+        raise ValueError(
+            "E_exits must be populated in WavefrontData for the vectorial "
+            "Huygens PSF. Enable polarization on the optic."
+        )
+
+    gx, gy, gz, pixel_pitch = _image_grid(
+        system, Hx, Hy, wavelength, image_size,
+        oversample=oversample, pixel_pitch=pixel_pitch,
+    )
+
+    if vectorial:
+        psf = vectorial_huygens_psf_from_data(
+            data, gx, gy, gz, wavelength, chunk=chunk
         )
     else:
-        data0 = data
-    ideal = data0.replace(
-        opd=jnp.zeros_like(data0.opd), intensity=jnp.ones_like(data0.intensity)
-    )
-    z_img = jnp.full((1, 1), positions(system.stack)[-1])
-    peak = huygens_psf_from_data(
-        ideal, jnp.zeros((1, 1)), jnp.zeros((1, 1)), z_img, wavelength
-    )[0, 0]
-    pixel_pitch = 2 * extent / image_size
-    return psf / peak * 100.0, pixel_pitch
+        psf = huygens_psf_from_data(data, gx, gy, gz, wavelength, chunk=chunk)
+
+    if normalization is None:
+        # On-axis zero-OPD pupil, single image point at the origin
+        if (Hx, Hy) != (0.0, 0.0):
+            data0 = compute_wavefront_data(
+                system, 0.0, 0.0, wavelength, xg[mask], yg[mask],
+                strategy=strategy, pol_state=pol_state,
+            )
+        else:
+            data0 = data
+        z_img = jnp.full((1, 1), positions(system.stack)[-1])
+        if vectorial:
+            # actual exit-field amplitudes, zero OPD
+            # (reference: psf/vectorial_huygens.py:108-169)
+            ideal = data0.replace(opd=jnp.zeros_like(data0.opd))
+            normalization = vectorial_huygens_psf_from_data(
+                ideal, jnp.zeros((1, 1)), jnp.zeros((1, 1)), z_img, wavelength
+            )[0, 0]
+        else:
+            ideal = data0.replace(
+                opd=jnp.zeros_like(data0.opd),
+                intensity=jnp.ones_like(data0.intensity),
+            )
+            normalization = huygens_psf_from_data(
+                ideal, jnp.zeros((1, 1)), jnp.zeros((1, 1)), z_img, wavelength
+            )[0, 0]
+    return psf / normalization * 100.0, pixel_pitch, normalization
 
 
 def working_FNO(system: System, Hx, Hy, wavelength):
@@ -178,8 +254,10 @@ def working_FNO(system: System, Hx, Hy, wavelength):
     return jnp.minimum(fno, 10000.0)
 
 
-class HuygensPSF:
+class ScalarHuygensPSF:
     """Huygens PSF analysis (reference: psf/huygens_fresnel.py:31,351)."""
+
+    _vectorial = False
 
     def __init__(
         self,
@@ -189,6 +267,9 @@ class HuygensPSF:
         num_rays: int = 128,
         image_size: int = 128,
         strategy: str = "chief_ray",
+        oversample=None,
+        pixel_pitch=None,
+        normalization=None,
         **kwargs,
     ):
         if wavelength == "primary":
@@ -197,9 +278,13 @@ class HuygensPSF:
         self.field = field
         self.wavelength = wavelength
         self.image_size = image_size
-        self.psf, self.pixel_pitch = huygens_psf(
+        self.psf, self.pixel_pitch, self.normalization = huygens_psf(
             optic.system, field[0], field[1], wavelength,
             num_rays=num_rays, image_size=image_size, strategy=strategy,
+            oversample=oversample, pixel_pitch=pixel_pitch,
+            normalization=normalization,
+            pol_state=getattr(optic, "polarization_state", None),
+            vectorial=self._vectorial,
         )
 
     def strehl_ratio(self) -> float:
@@ -220,3 +305,15 @@ class HuygensPSF:
         fig.colorbar(im, ax=ax)
         ax.set_title("Huygens PSF")
         return fig, ax
+
+
+class HuygensPSF(ScalarHuygensPSF):
+    """Huygens PSF factory: vectorial when the optic carries a polarization
+    state, scalar otherwise (reference: psf/huygens_fresnel.py:351+ factory)."""
+
+    def __new__(cls, optic, *args, **kwargs):
+        if cls is HuygensPSF and getattr(optic, "polarization_state", None) is not None:
+            from optiland_tpu.psf.vectorial import VectorialHuygensPSF
+
+            return VectorialHuygensPSF(optic, *args, **kwargs)
+        return super().__new__(cls)

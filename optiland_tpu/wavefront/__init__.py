@@ -32,6 +32,9 @@ class WavefrontData:
     opd: jnp.ndarray  # waves
     intensity: jnp.ndarray
     radius: jnp.ndarray  # reference sphere radius (inf for plane)
+    # For polarized systems: tuple of (R, 3) complex exit E-fields (one for
+    # polarized light, two incoherent for unpolarized); else None.
+    E_exits: tuple = None
 
 
 def _sphere_path_length(x, y, z, L, M, N, center, R, n_medium):
@@ -93,8 +96,9 @@ def _trace_field(system: System, Hx, Hy, Px, Py, wavelength):
         Py,
         wavelength,
     )
-    final, _ = trace_core.trace(system, rays, record=False)
-    return final
+    final, history = trace_core.trace(system, rays, record=False)
+    p = history["p"] if (history is not None and "p" in history) else None
+    return final, p, rays.i
 
 
 def compute_wavefront_data(
@@ -107,6 +111,7 @@ def compute_wavefront_data(
     strategy: str = "chief_ray",
     reference_type: str = "sphere",
     robust_trim_std: float = 3.0,
+    pol_state=None,
 ) -> WavefrontData:
     """Compute exit-pupil wavefront samples for one field and wavelength.
 
@@ -116,8 +121,31 @@ def compute_wavefront_data(
     n_image = n_all(system.stack, system.cfg, system.primary_wavelength)[-1]
     pos = positions(system.stack)
 
+    def pol_kwargs(rays, p, i0):
+        """E_exits for polarized systems (reference: strategy.py:203-211)."""
+        if p is None:
+            return {}
+        from optiland_tpu.polarization import exit_fields
+
+        return {
+            "E_exits": tuple(
+                exit_fields(p, pol_state, rays.L0, rays.M0, rays.N0, i0)
+            )
+        }
+
+    def pol_intensity(rays, p, i0):
+        """Image-surface intensity; polarization-resolved when p is carried
+        (reference records surfaces.intensity[-1], strategy.py:188)."""
+        if p is None:
+            return rays.i
+        from optiland_tpu.polarization import polarized_intensity
+
+        return polarized_intensity(
+            p, pol_state, rays.L0, rays.M0, rays.N0, i0
+        )
+
     if strategy == "chief_ray":
-        chief = _trace_field(system, Hx, Hy, 0.0, 0.0, wavelength)
+        chief, _, _ = _trace_field(system, Hx, Hy, 0.0, 0.0, wavelength)
         xc, yc, zc = chief.x[0], chief.y[0], chief.z[0]
         pupil_z = paraxial.XPL(system) + pos[-1]
         if reference_type == "sphere":
@@ -136,7 +164,7 @@ def compute_wavefront_data(
         opd_ref = chief.opd - opd_img_ref
         opd_ref = opd_ref + _tilt_correction(system, Hx, Hy, 0.0, 0.0)
 
-        rays = _trace_field(system, Hx, Hy, Px, Py, wavelength)
+        rays, p_mat, i0 = _trace_field(system, Hx, Hy, Px, Py, wavelength)
         opd_img = ref_pl(rays)
         opd = rays.opd - opd_img
         opd = opd + _tilt_correction(system, Hx, Hy, jnp.asarray(Px), jnp.asarray(Py))
@@ -148,12 +176,15 @@ def compute_wavefront_data(
             pupil_y=rays.y - t * rays.M,
             pupil_z=rays.z - t * rays.N,
             opd=opd_wv,
-            intensity=rays.i,
+            intensity=pol_intensity(rays, p_mat, i0),
             radius=R,
+            **pol_kwargs(rays, p_mat, i0),
         )
 
     if strategy in ("centroid", "best_fit"):
-        rays = _trace_field(system, Hx, Hy, Px, Py, wavelength)
+        rays, p_mat, i0 = _trace_field(system, Hx, Hy, Px, Py, wavelength)
+        inten = pol_intensity(rays, p_mat, i0)
+        rays = rays.replace(i=inten)
         opd0 = rays.opd + _tilt_correction(
             system, Hx, Hy, jnp.asarray(Px), jnp.asarray(Py)
         )
@@ -262,6 +293,7 @@ def compute_wavefront_data(
             opd=opd_wv,
             intensity=rays.i,
             radius=R,
+            **pol_kwargs(rays, p_mat, i0),
         )
 
     raise ValueError(f"Unknown wavefront strategy: {strategy}")
@@ -331,6 +363,7 @@ class Wavefront:
                     system, field[0], field[1], wl, Px, Py,
                     strategy=self.strategy,
                     reference_type=self.reference_type,
+                    pol_state=getattr(self.optic, "polarization_state", None),
                 )
                 if self.remove_tilt:
                     data = data.replace(opd=fit_and_remove_tilt(data))

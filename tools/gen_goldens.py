@@ -256,7 +256,66 @@ def geom_goldens():
     print(f"geometries: {len(out)} arrays")
 
 
+def _pol_doublet(pol):
+    from optiland import optic as ropt
+    from optiland.rays import create_polarization
+    import optiland.backend as be
+
+    o = ropt.Optic()
+    o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    o.surfaces.add(index=1, radius=50.0, thickness=5.0, material="N-BK7",
+                   is_stop=True, coating="fresnel")
+    o.surfaces.add(index=2, radius=-50.0, thickness=45.0, coating="fresnel")
+    o.surfaces.add(index=3)
+    o.set_aperture("EPD", 20.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.fields.add(y=5)
+    o.wavelengths.add(0.55, is_primary=True)
+    o.set_polarization(create_polarization(pol))
+    return o
+
+
+def pol_goldens():
+    """Polarized traces, exit fields, Jones pupil, vectorial PSF/MTF."""
+    from optiland.analysis.jones_pupil import JonesPupil
+    from optiland.psf.vectorial_fft import VectorialFFTPSF
+    from optiland.mtf import HuygensMTF
+
+    out = {}
+    for pol in ("unpolarized", "H", "RCP"):
+        o = _pol_doublet(pol)
+        rays = o.trace(Hx=0, Hy=1.0, wavelength=0.55, num_rays=5)
+        out[f"{pol}_y"] = np.asarray(rays.y)
+        out[f"{pol}_i"] = np.asarray(rays.i)
+        out[f"{pol}_p"] = np.asarray(rays.p)
+        fields = rays.get_exit_fields(o.polarization_state)
+        for j, E in enumerate(fields):
+            out[f"{pol}_E{j}"] = np.asarray(E)
+
+    jp = JonesPupil(_pol_doublet("H"), field=(0, 1.0), grid_size=9)
+    out["jones_J"] = np.asarray(jp.data[0]["J"])
+
+    psf = VectorialFFTPSF(_pol_doublet("H"), (0, 0), 0.55,
+                          num_rays=32, grid_size=64)
+    out["vfft_psf"] = np.asarray(psf.psf)
+    out["vfft_strehl"] = np.asarray(psf.strehl_ratio())
+
+    # Scalar Huygens MTF on the Cooke triplet
+    from optiland.samples.objectives import CookeTriplet
+
+    hm = HuygensMTF(CookeTriplet(), fields=[(0, 0), (0, 1)],
+                    wavelength=0.5876, num_rays=32, image_size=32)
+    for k in range(2):
+        out[f"hmtf_tan{k}"] = np.asarray(hm.mtf[k][0])
+        out[f"hmtf_sag{k}"] = np.asarray(hm.mtf[k][1])
+        out[f"hmtf_freq{k}"] = np.asarray(hm.freq_tang[k])
+    np.savez_compressed(os.path.join(OUT, "polarization.npz"), **out)
+    print(f"polarization: {len(out)} arrays")
+
+
 if __name__ == "__main__":
     main()
     wave_goldens()
     geom_goldens()
+    pol_goldens()
