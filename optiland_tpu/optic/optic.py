@@ -334,6 +334,26 @@ def _trace_jit():
     return jax.jit(run, static_argnames=("record", "apodization", "pol_state"))
 
 
+@functools.lru_cache(maxsize=32)
+def _trace_rays_jit():
+    """Trace a pre-aimed launch bundle (used by the real ray-aiming modes)."""
+
+    def run(system, rays, record, pol_state=None, key=None):
+        final, history = trace_core.trace(system, rays, record=record, key=key)
+        if system.cfg.polarized:
+            from optiland_tpu.polarization import polarized_intensity
+
+            p = history["p"]
+            i_pol = polarized_intensity(
+                p, pol_state, rays.L, rays.M, rays.N, rays.i
+            )
+            final = final.replace(i=i_pol)
+            history["i0"] = rays.i
+        return final, history
+
+    return jax.jit(run, static_argnames=("record", "pol_state"))
+
+
 class TraceResult:
     """Result bundle mimicking the reference's traced RealRays + recorded
     surface history (reference: surfaces/surface_group.py:108-153)."""
@@ -380,6 +400,8 @@ class Optic:
         self.pickups = PickupManager(self)
         self.solves = SolveManager(self)
         self.apodization = None
+        self.ray_aiming_config: dict = {"method": "paraxial"}
+        self._aimer = None
         self._system_cache: System | None = None
 
     # ---------------- configuration API ----------------
@@ -429,6 +451,37 @@ class Optic:
     def set_apodization(self, apodization):
         self.apodization = apodization
         self._invalidate()
+
+    def set_ray_aiming(self, method: str = "paraxial", cache: bool = False,
+                       **kwargs):
+        """Select the ray aiming mode: "paraxial" (jit-traced default),
+        "iterative" (Broyden onto the stop), or "robust" (continuation);
+        cache=True wraps the aimer with result caching
+        (reference: optic/optic.py:516, rays/ray_generator.py:29-43)."""
+        from optiland_tpu.core.aiming import create_ray_aimer
+
+        self.ray_aiming_config = {"method": method, "cache": cache, **kwargs}
+        self._aimer = create_ray_aimer(method, self, cache=cache, **kwargs)
+
+    def _aimed_trace(self, Hx, Hy, Px, Py, wavelength, record):
+        """Trace via a real ray aimer (non-paraxial modes)."""
+        x, y, z, L, M, N = self._aimer.aim_rays(
+            (Hx, Hy), wavelength, (Px, Py)
+        )
+        from optiland_tpu.core.rays import RealRays
+
+        Px = jnp.atleast_1d(jnp.asarray(Px, float))
+        Py = jnp.atleast_1d(jnp.asarray(Py, float))
+        if self.apodization is not None:
+            intensity = self.apodization.get_intensity(Px, Py)
+        else:
+            intensity = jnp.ones_like(Px)
+        wl = jnp.ones_like(x) * wavelength
+        rays = RealRays.create(x, y, z, L, M, N, intensity, wl)
+        final, history = _trace_rays_jit()(
+            self.system, rays, record, self._pol_state(), self._next_key()
+        )
+        return TraceResult(final, history)
 
     def _invalidate(self):
         self._system_cache = None
@@ -717,6 +770,10 @@ class Optic:
         Hy_full = np.repeat(Hy, npup)
         Px_full = np.tile(Px, nf)
         Py_full = np.tile(Py, nf)
+        if self._aimer is not None and self._aimer.name != "paraxial":
+            return self._aimed_trace(
+                Hx_full, Hy_full, Px_full, Py_full, wavelength, record
+            )
         final, history = _trace_jit()(
             self.system, Hx_full, Hy_full, Px_full, Py_full, wavelength, record,
             self.apodization, self._pol_state(), self._next_key(),
@@ -732,6 +789,8 @@ class Optic:
             np.atleast_1d(np.asarray(Px, float)),
             np.atleast_1d(np.asarray(Py, float)),
         )
+        if self._aimer is not None and self._aimer.name != "paraxial":
+            return self._aimed_trace(Hx, Hy, Px, Py, wavelength, record)
         final, history = _trace_jit()(
             self.system, Hx, Hy, Px, Py, wavelength, record, self.apodization,
             self._pol_state(), self._next_key(),

@@ -21,10 +21,13 @@ from optiland_tpu.psf.huygens_fresnel import (
     ScalarHuygensPSF,
     huygens_psf,
 )
+from optiland_tpu.psf.mmdft import MMDFTPSF, mmdft_psf
 from optiland_tpu.psf.vectorial import VectorialFFTPSF, VectorialHuygensPSF
 
 __all__ = [
     "FFTPSF",
+    "MMDFTPSF",
+    "mmdft_psf",
     "ScalarFFTPSF",
     "VectorialFFTPSF",
     "HuygensPSF",

@@ -116,3 +116,28 @@ def test_wavefront_differentiable(cooke):
           rms_opd(jnp.asarray(22.01359 - 1e-5))) / 2e-5
     assert np.isfinite(float(g))
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
+
+
+def test_mmdft_psf_parity(goldens, cooke):
+    """MMDFT triple-product PSF matches the reference, default and custom
+    sampling (reference: psf/mmdft.py:19-308)."""
+    from optiland_tpu.psf import MMDFTPSF
+
+    g = goldens("mmdft")
+    p1 = MMDFTPSF(cooke, (0, 0), 0.5876, num_rays=32)
+    assert_allclose(p1.pixel_pitch, g["default_pitch"], rtol=1e-10)
+    assert_allclose(p1.psf, g["default_psf"], rtol=1e-5, atol=1e-8)
+    assert_allclose(p1.strehl_ratio(), g["default_strehl"], rtol=1e-6)
+    p2 = MMDFTPSF(cooke, (0, 1.0), 0.5876, num_rays=32,
+                  image_size=48, pixel_pitch=1.5)
+    assert_allclose(p2.psf, g["custom_psf"], rtol=1e-5, atol=1e-8)
+
+
+def test_mmdft_image_size_validation(cooke):
+    import pytest
+
+    from optiland_tpu.psf import MMDFTPSF
+
+    with pytest.raises(ValueError):
+        MMDFTPSF(cooke, (0, 0), 0.5876, num_rays=32, image_size=4096,
+                 pixel_pitch=1.5)

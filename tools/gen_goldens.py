@@ -314,8 +314,67 @@ def pol_goldens():
     print(f"polarization: {len(out)} arrays")
 
 
+def mmdft_goldens():
+    """MMDFT PSF on the Cooke triplet, default and custom sampling."""
+    from optiland.psf.mmdft import MMDFTPSF
+    from optiland.samples.objectives import CookeTriplet
+
+    out = {}
+    p1 = MMDFTPSF(CookeTriplet(), (0, 0), 0.5876, num_rays=32)
+    out["default_psf"] = np.asarray(p1.psf)
+    out["default_pitch"] = np.asarray(p1.pixel_pitch)
+    out["default_strehl"] = np.asarray(p1.strehl_ratio())
+    p2 = MMDFTPSF(CookeTriplet(), (0, 1.0), 0.5876, num_rays=32,
+                  image_size=48, pixel_pitch=1.5)
+    out["custom_psf"] = np.asarray(p2.psf)
+    np.savez_compressed(os.path.join(OUT, "mmdft.npz"), **out)
+    print(f"mmdft: {len(out)} arrays")
+
+
+def aiming_goldens():
+    """Iterative/robust ray aiming traces on infinite and finite conjugates."""
+    from optiland.samples.objectives import CookeTriplet
+
+    out = {}
+    Px = np.array([0.0, 0.5, 1.0, -0.8])
+    Py = np.array([0.0, 0.0, 0.5, -0.3])
+    out["Px"], out["Py"] = Px, Py
+    for mode in ("iterative", "robust"):
+        lens = CookeTriplet()
+        lens.set_ray_aiming(mode)
+        r = lens.trace_generic(Hx=0.0, Hy=0.7, Px=Px, Py=Py, wavelength=0.55)
+        out[f"{mode}_x"] = np.asarray(r.x)
+        out[f"{mode}_y"] = np.asarray(r.y)
+
+    # finite-conjugate singlet (directions are the aim variables)
+    from optiland import optic as ropt
+
+    def finite():
+        o = ropt.Optic()
+        o.surfaces.add(index=0, thickness=60.0)
+        o.surfaces.add(index=1, radius=30.0, thickness=6.0, material="N-BK7")
+        o.surfaces.add(index=2, radius=-30.0, thickness=40.0, is_stop=True)
+        o.surfaces.add(index=3)
+        o.set_aperture("EPD", 12.0)
+        o.fields.set_type("angle")
+        o.fields.add(y=0)
+        o.fields.add(y=3)
+        o.wavelengths.add(0.55, is_primary=True)
+        return o
+
+    for mode in ("iterative", "robust"):
+        o = finite()
+        o.set_ray_aiming(mode)
+        r = o.trace_generic(Hx=0.0, Hy=1.0, Px=Px, Py=Py, wavelength=0.55)
+        out[f"finite_{mode}_y"] = np.asarray(r.y)
+    np.savez_compressed(os.path.join(OUT, "aiming.npz"), **out)
+    print(f"aiming: {len(out)} arrays")
+
+
 if __name__ == "__main__":
     main()
     wave_goldens()
     geom_goldens()
     pol_goldens()
+    mmdft_goldens()
+    aiming_goldens()
