@@ -40,6 +40,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # Geometry codes (stable; serialized in system configs)
@@ -52,6 +53,9 @@ CHEBYSHEV = 5
 ZERNIKE_SAG = 6
 TOROIDAL = 7
 BICONIC = 8
+FORBES_QBFS = 9
+FORBES_Q2D = 10
+GRID_SAG = 11
 
 # Number of Newton iterations for aspheric/freeform intersection. The conic
 # initial guess converges quadratically; 16 iterations reach f64 roundoff
@@ -193,6 +197,108 @@ def _sag_biconic(radius, conic, coeffs, p1, p2, x, y, aux=None):
     return cx * x**2 / dx + cy * y**2 / dy
 
 
+def _forbes_base_sag(radius, conic, r2):
+    """Base conic sag with clamped root
+    (reference: forbes/geometry.py:95-105 _base_sag)."""
+    sqrt_arg = 1 - (1 + conic) * r2 / radius**2
+    safe = jnp.sqrt(jnp.where(sqrt_arg < 0, 0.0, sqrt_arg))
+    z = r2 / (radius * (1 + safe))
+    return jnp.where(jnp.isinf(radius), jnp.zeros_like(r2), z)
+
+
+def _forbes_conic_factor(radius, conic, r2):
+    """phi = sqrt((1 - k c^2 r^2)/(1 - (k+1) c^2 r^2))
+    (reference: forbes/geometry.py:110-131)."""
+    c2 = jnp.where(jnp.isinf(radius), 0.0, 1.0 / radius**2)
+    num = jnp.maximum(1 - conic * c2 * r2, 1e-12)
+    den = jnp.maximum(1 - (conic + 1) * c2 * r2, 1e-12)
+    return jnp.sqrt(num) / jnp.sqrt(den)
+
+
+def _sag_forbes_qbfs(radius, conic, coeffs, p1, p2, x, y, aux=None):
+    """Forbes Q (slope-orthogonal) asphere: base conic + phi u^2(1-u^2)
+    sum a_m Q_m(u^2) (reference: forbes/geometry.py:132-287). p1 =
+    norm_radius; aux = ("qbfs", n_terms)."""
+    from optiland_tpu.core import forbes
+
+    n_terms = aux[1]
+    r2 = x**2 + y**2
+    z_base = _forbes_base_sag(radius, conic, r2)
+    usq = r2 / (p1 * p1)
+    cs = [coeffs[i] for i in range(n_terms)]
+    poly = forbes.clenshaw_qbfs(cs, usq)
+    departure = usq * (1 - usq) * _forbes_conic_factor(radius, conic, r2) * poly
+    return z_base + jnp.where(usq > 1, 0.0, departure)
+
+
+def _sag_forbes_q2d(radius, conic, coeffs, p1, p2, x, y, aux=None):
+    """Forbes Q2d freeform: base conic + phi * [u^2(1-u^2) S_0 +
+    sum_m u^m (cos/sin) S_m] (reference: forbes/geometry.py:445-596).
+    p1 = norm_radius; aux = ("q2d", nms) with nms the static (n, m_signed)
+    layout of the coefficient vector."""
+    from optiland_tpu.core import forbes
+
+    nms = aux[1]
+    cm0_slots, a_slots, b_slots = forbes.q2d_partition(nms)
+    r2 = x**2 + y**2
+    z_base = _forbes_base_sag(radius, conic, r2)
+    # u^m cos(m theta) / u^m sin(m theta) are computed in CARTESIAN form via
+    # the (x + iy)^m recurrence: polynomials in (x, y), so forward-mode
+    # autodiff (surface normals) is regular at the vertex where the polar
+    # parametrization the reference differentiates analytically is singular.
+    usq = (r2 + 1e-12) / (p1 * p1)  # epsilon matches reference rho floor
+
+    zero = jnp.zeros_like(usq)
+
+    def slot_vals(slots):
+        return [coeffs[i] if i is not None else 0.0 for i in slots]
+
+    poly_m0 = (
+        forbes.clenshaw_qbfs(slot_vals(cm0_slots), usq)
+        if cm0_slots else zero
+    )
+    poly_gt0 = zero
+    c_m = jnp.ones_like(usq)  # u^m cos(m theta) for m = 0
+    s_m = zero  # u^m sin(m theta) for m = 0
+    c1, s1 = x / p1, y / p1
+    max_m = max(set(a_slots) | set(b_slots), default=0)
+    for m in range(1, max_m + 1):
+        c_m, s_m = c_m * c1 - s_m * s1, s_m * c1 + c_m * s1
+        s_a = (
+            forbes.q2d_series_sum(slot_vals(a_slots[m]), m, usq)
+            if m in a_slots else zero
+        )
+        s_b = (
+            forbes.q2d_series_sum(slot_vals(b_slots[m]), m, usq)
+            if m in b_slots else zero
+        )
+        poly_gt0 = poly_gt0 + c_m * s_a + s_m * s_b
+    phi = _forbes_conic_factor(radius, conic, r2)
+    departure = usq * (1 - usq) * phi * poly_m0 + phi * poly_gt0
+    return z_base + jnp.where(usq > 1, 0.0, departure)
+
+
+def _sag_grid(radius, conic, coeffs, p1, p2, x, y, aux=None):
+    """Bilinear grid sag (reference: grid_sag.py:33-104). aux = ("grid",
+    x_grid, y_grid, sag_rows) as static tuples; out-of-grid points are NaN."""
+    xg = jnp.asarray(np.asarray(aux[1]))
+    yg = jnp.asarray(np.asarray(aux[2]))
+    sg = jnp.asarray(np.asarray(aux[3]))
+    i = jnp.clip(jnp.searchsorted(xg, x, side="right") - 1, 0, xg.shape[0] - 2)
+    j = jnp.clip(jnp.searchsorted(yg, y, side="right") - 1, 0, yg.shape[0] - 2)
+    oob = (x < xg[0]) | (x > xg[-1]) | (y < yg[0]) | (y > yg[-1])
+    x1, x2 = xg[i], xg[i + 1]
+    y1, y2 = yg[j], yg[j + 1]
+    z11, z12 = sg[j, i], sg[j, i + 1]
+    z21, z22 = sg[j + 1, i], sg[j + 1, i + 1]
+    tx = (x - x1) / (x2 - x1)
+    ty = (y - y1) / (y2 - y1)
+    z_y1 = z11 * (1 - tx) + z12 * tx
+    z_y2 = z21 * (1 - tx) + z22 * tx
+    sag = z_y1 * (1 - ty) + z_y2 * ty
+    return jnp.where(oob, jnp.nan, sag)
+
+
 _SAG_FNS = {
     PLANE: _sag_plane,
     STANDARD: _sag_standard,
@@ -203,6 +309,9 @@ _SAG_FNS = {
     ZERNIKE_SAG: _sag_zernike,
     TOROIDAL: _sag_toroidal,
     BICONIC: _sag_biconic,
+    FORBES_QBFS: _sag_forbes_qbfs,
+    FORBES_Q2D: _sag_forbes_q2d,
+    GRID_SAG: _sag_grid,
 }
 
 # Families whose intersection has a closed form

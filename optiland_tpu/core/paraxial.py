@@ -82,6 +82,10 @@ def trace_generic(
         t = pos[k] - z_
         z_ = jnp.broadcast_to(pos[k], z_.shape)
         y_ = y_ + t * u_
+        # NOTE: gratings are intentionally NOT applied here — the reference's
+        # trace_generic (raytrace/paraxial_ray_tracer.py:105-135), which backs
+        # every paraxial property, ignores the diffraction term; only its
+        # ParaxialRays interaction path applies it.
         is_thin = inter[k] is not None and inter[k][0] == "thin_lens"
         if refl[k]:
             if is_thin:

@@ -147,6 +147,62 @@ def _surface_step(stack, cfg, s, pos_s, state):
         opd = opd - phase_val / k0
         inten = inten * profile.efficiency
         n_next = n_pre if cfg.reflective[s] else n_post
+    elif inter is not None and inter[0] == "grating":
+        # Vector grating diffraction: tangential momentum conservation with
+        # the grating vector G = (m w / d) f
+        # (reference: rays/real_rays.py:207-430 gratingdiffract,
+        # interactions/diffractive_model.py:23-61; validated term-for-term
+        # against the reference's expanded formula).
+        m_ord = inter[1]
+        d = p1  # grating period (um), differentiable via geo_p1
+        alpha = p2  # groove orientation angle (rad) via geo_p2
+        if code == geom.PLANE:
+            # (reference: plane_grating.py:76-83)
+            ones = jnp.ones_like(x)
+            fx = -jnp.sin(alpha) * ones
+            fy = jnp.cos(alpha) * ones
+            fz = jnp.zeros_like(x)
+        else:
+            # f = -normalize(n x t), t the groove tangent
+            # (reference: standard_grating.py:86-140, 208-231)
+            r2 = x**2 + y**2
+            denom = radius * jnp.sqrt(
+                jnp.maximum(1 - (1 + conic) * r2 / radius**2, 1e-14)
+            )
+            ta = jnp.tan(alpha)
+            dzd = (x + y * ta) / denom
+            tmag = jnp.sqrt(1 + ta**2 + dzd**2)
+            tx, ty, tz = 1.0 / tmag, ta / tmag, dzd / tmag
+            gx = ny * tz - nz * ty
+            gy = -nx * tz + nz * tx
+            gz = nx * ty - ny * tx
+            gmag = jnp.sqrt(gx**2 + gy**2 + gz**2)
+            fx, fy, fz = -gx / gmag, -gy / gmag, -gz / gmag
+        # projection-corrected period (reference: diffractive_model.py:51-52)
+        d_eff = d / jnp.sqrt(fx**2 + fy**2)
+        n_post = (
+            n_pre if cfg.reflective[s]
+            else n_of(cfg.mat_formulas[s], stack.mat_coeffs[s], stack.ntab[s], w)
+        )
+        sgn_n = jnp.sign(L * nx + M * ny + N * nz)
+        nax, nay, naz = nx * sgn_n, ny * sgn_n, nz * sgn_n
+        kn = L * nax + M * nay + N * naz
+        fn = fx * nax + fy * nay + fz * naz
+        Ptx = d_eff * n_pre * (L - kn * nax) + m_ord * w * (fx - fn * nax)
+        Pty = d_eff * n_pre * (M - kn * nay) + m_ord * w * (fy - fn * nay)
+        Ptz = d_eff * n_pre * (N - kn * naz) + m_ord * w * (fz - fn * naz)
+        rad = (d_eff * n_post) ** 2 - (Ptx**2 + Pty**2 + Ptz**2)
+        inten = jnp.where(rad < 0, 0.0, inten)  # evanescent orders
+        root = jnp.sqrt(jnp.maximum(rad, 0.0))
+        if cfg.reflective[s]:
+            L = (-Ptx + nax * root) / (d_eff * n_post)
+            M = (-Pty + nay * root) / (d_eff * n_post)
+            N = (-Ptz + naz * root) / (d_eff * n_post)
+        else:
+            L = (Ptx + nax * root) / (d_eff * n_post)
+            M = (Pty + nay * root) / (d_eff * n_post)
+            N = (Ptz + naz * root) / (d_eff * n_post)
+        n_next = n_post
     elif cfg.reflective[s]:
         L, M, N = kernels.reflect(L, M, N, nx, ny, nz)
         n_next = n_pre

@@ -37,6 +37,9 @@ _GEOM_CODES = {
     "toroidal": geom.TOROIDAL,
     "biconic": geom.BICONIC,
     "paraxial": geom.PLANE,
+    "forbes_qbfs": geom.FORBES_QBFS,
+    "forbes_q2d": geom.FORBES_Q2D,
+    "grid_sag": geom.GRID_SAG,
 }
 
 
@@ -129,6 +132,48 @@ class SurfaceGroup:
         elif surface_type == "paraxial":
             # ideal thin lens; focal length in geo_p1
             geo_p1 = kwargs.pop("f", kwargs.pop("focal_length", np.inf))
+        elif surface_type == "grating":
+            # period in geo_p1 (um, differentiable), groove angle in geo_p2,
+            # order in geo_aux (static)
+            geo_p1 = kwargs.pop("grating_period", np.inf)
+            geo_p2 = kwargs.pop("groove_orientation_angle", 0.0)
+            geo_aux = ("grating", int(kwargs.pop("grating_order", 0)))
+        elif surface_type == "forbes_qbfs":
+            # radial_terms dict {n: a_n} -> dense coefficient vector
+            terms = kwargs.pop("radial_terms", None) or {}
+            geo_p1 = kwargs.pop("norm_radius", None) or 1.0
+            n_terms = (max(terms) + 1) if terms else 0
+            coeff_arr = np.zeros(n_terms)
+            for n, v in terms.items():
+                coeff_arr[n] = v
+            geo_aux = ("qbfs", n_terms)
+        elif surface_type == "forbes_q2d":
+            # freeform_coeffs dict {('a'|'b', m, n): c} -> coefficient
+            # vector + static (n, m_signed) layout
+            terms = kwargs.pop("freeform_coeffs", None) or {}
+            geo_p1 = kwargs.pop("norm_radius", None) or 1.0
+            nms, vals = [], []
+            for (ab, m, n), v in sorted(
+                terms.items(), key=lambda kv: (kv[0][2], kv[0][1], kv[0][0])
+            ):
+                nms.append((n, m if ab.lower() == "a" else -m))
+                vals.append(v)
+            coeff_arr = np.asarray(vals, float)
+            geo_aux = ("q2d", tuple(nms))
+        elif surface_type == "grid_sag":
+            xs = tuple(float(v) for v in kwargs.pop("x_coordinates"))
+            ys = tuple(float(v) for v in kwargs.pop("y_coordinates"))
+            sags = tuple(
+                tuple(float(v) for v in row)
+                for row in kwargs.pop("sag_values")
+            )
+            if (len(sags), len(sags[0])) != (len(ys), len(xs)):
+                raise ValueError(
+                    f"Shape of sag_values ({len(sags)}, {len(sags[0])}) must "
+                    f"match (len(y_coordinates), len(x_coordinates)) = "
+                    f"({len(ys)}, {len(xs)})."
+                )
+            geo_aux = ("grid", xs, ys, sags)
         phase_profile = kwargs.pop("phase_profile", None)
         coating = kwargs.pop("coating", None)
         bsdf = kwargs.pop("bsdf", None)
@@ -624,10 +669,14 @@ class Optic:
         geom_code = []
         for s in surfs:
             st = s.surface_type or "standard"
-            code = _GEOM_CODES.get(st)
+            if st == "grating":
+                # plane or standard base shape; diffraction is the interaction
+                code = geom.PLANE if np.isinf(s.radius) else geom.STANDARD
+            else:
+                code = _GEOM_CODES.get(st)
             if code is None:
                 raise NotImplementedError(f"surface_type {st!r} not yet supported")
-            if code == geom.STANDARD and np.isinf(s.radius):
+            if code == geom.STANDARD and np.isinf(s.radius) and st != "grating":
                 code = geom.PLANE
             geom_code.append(code)
         geom_aux = tuple(s.geo_aux for s in surfs)
@@ -714,6 +763,9 @@ class Optic:
             interactions=tuple(
                 ("thin_lens",) if s.surface_type == "paraxial"
                 else ("phase", s.phase_profile) if s.phase_profile is not None
+                else ("grating", int(s.geo_aux[1])) if (
+                    s.surface_type == "grating" and s.geo_aux is not None
+                )
                 else None
                 for s in surfs
             ),

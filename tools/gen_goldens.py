@@ -371,6 +371,102 @@ def aiming_goldens():
     print(f"aiming: {len(out)} arrays")
 
 
+def _adv_common(o):
+    o.set_aperture("EPD", 10.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.fields.add(y=3)
+    o.wavelengths.add(0.55, is_primary=True)
+
+
+def adv_geom_goldens():
+    """Gratings (plane/curved/reflective), Forbes Qbfs/Q2d, grid sag."""
+    from optiland import optic as ropt
+    import optiland.backend as be
+
+    out = {}
+
+    def grab(tag, o, hy=1.0):
+        rays = o.trace(Hx=0, Hy=hy, wavelength=0.55, num_rays=5)
+        for c in ("x", "y", "z", "L", "M", "N", "i", "opd"):
+            out[f"{tag}_{c}"] = np.asarray(getattr(rays, c))
+
+    o = ropt.Optic()
+    o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    o.surfaces.add(index=1, radius=30.0, thickness=5.0, material="N-BK7",
+                   is_stop=True)
+    o.surfaces.add(index=2, radius=-30.0, thickness=5.0)
+    o.surfaces.add(index=3, surface_type="grating", thickness=20.0,
+                   grating_order=1, grating_period=10.0,
+                   groove_orientation_angle=0.3)
+    o.surfaces.add(index=4)
+    _adv_common(o)
+    grab("plane_grating", o)
+
+    o = ropt.Optic()
+    o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    o.surfaces.add(index=1, surface_type="grating", radius=100.0, conic=-0.5,
+                   thickness=10.0, material="N-BK7", is_stop=True,
+                   grating_order=-1, grating_period=25.0,
+                   groove_orientation_angle=0.1)
+    o.surfaces.add(index=2, radius=be.inf, thickness=30.0)
+    o.surfaces.add(index=3)
+    _adv_common(o)
+    grab("curved_grating", o)
+    out["curved_grating_f2"] = np.asarray(o.paraxial.f2())
+
+    o = ropt.Optic()
+    o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    o.surfaces.add(index=1, surface_type="grating", radius=be.inf,
+                   thickness=-30.0, material="mirror", is_stop=True,
+                   grating_order=1, grating_period=5.0,
+                   groove_orientation_angle=0.0)
+    o.surfaces.add(index=2)
+    _adv_common(o)
+    grab("refl_grating", o)
+
+    o = ropt.Optic()
+    o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    o.surfaces.add(index=1, surface_type="forbes_qbfs", radius=40.0,
+                   conic=-0.8, thickness=6.0, material="N-BK7", is_stop=True,
+                   radial_terms={0: 1e-4, 1: -2e-5, 2: 3e-6, 4: 1e-7},
+                   norm_radius=12.0)
+    o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+    o.surfaces.add(index=3)
+    _adv_common(o)
+    grab("qbfs", o)
+
+    o = ropt.Optic()
+    o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    o.surfaces.add(index=1, surface_type="forbes_q2d", radius=40.0, conic=0.0,
+                   thickness=6.0, material="N-BK7", is_stop=True,
+                   freeform_coeffs={("a", 0, 0): 5e-5, ("a", 0, 1): -1e-5,
+                                    ("a", 2, 0): 2e-5, ("b", 2, 0): -1e-5,
+                                    ("a", 1, 1): 4e-6, ("b", 3, 1): 2e-6},
+                   norm_radius=12.0)
+    o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+    o.surfaces.add(index=3)
+    _adv_common(o)
+    grab("q2d", o)
+
+    xs = np.linspace(-8.1, 8.1, 34)
+    ys = np.linspace(-8.1, 8.1, 34)
+    X, Y = np.meshgrid(xs, ys)
+    sag = 1e-3 * (X**2 + 0.5 * Y**2)
+    o = ropt.Optic()
+    o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    o.surfaces.add(index=1, surface_type="grid_sag", thickness=6.0,
+                   material="N-BK7", is_stop=True, x_coordinates=list(xs),
+                   y_coordinates=list(ys), sag_values=sag.tolist())
+    o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+    o.surfaces.add(index=3)
+    _adv_common(o)
+    grab("grid", o)
+
+    np.savez_compressed(os.path.join(OUT, "adv_geom.npz"), **out)
+    print(f"adv_geom: {len(out)} arrays")
+
+
 if __name__ == "__main__":
     main()
     wave_goldens()
@@ -378,3 +474,4 @@ if __name__ == "__main__":
     pol_goldens()
     mmdft_goldens()
     aiming_goldens()
+    adv_geom_goldens()
