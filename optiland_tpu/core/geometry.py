@@ -56,6 +56,7 @@ BICONIC = 8
 FORBES_QBFS = 9
 FORBES_Q2D = 10
 GRID_SAG = 11
+NURBS = 12
 
 # Number of Newton iterations for aspheric/freeform intersection. The conic
 # initial guess converges quadratically; 16 iterations reach f64 roundoff
@@ -299,6 +300,13 @@ def _sag_grid(radius, conic, coeffs, p1, p2, x, y, aux=None):
     return jnp.where(oob, jnp.nan, sag)
 
 
+def _sag_nurbs(radius, conic, coeffs, p1, p2, x, y, aux=None):
+    """NURBS surface sag (reference: nurbs/nurbs_geometry.py:733-762)."""
+    from optiland_tpu.core import nurbs
+
+    return nurbs.sag(coeffs, aux, x, y)
+
+
 _SAG_FNS = {
     PLANE: _sag_plane,
     STANDARD: _sag_standard,
@@ -312,6 +320,7 @@ _SAG_FNS = {
     FORBES_QBFS: _sag_forbes_qbfs,
     FORBES_Q2D: _sag_forbes_q2d,
     GRID_SAG: _sag_grid,
+    NURBS: _sag_nurbs,
 }
 
 # Families whose intersection has a closed form
@@ -386,6 +395,10 @@ def surface_normal_static(
         return _normal_standard(radius, conic, x, y)
     if code == CHEBYSHEV:
         return _normal_chebyshev(radius, conic, coeffs, p1, p2, x, y)
+    if code == NURBS:
+        from optiland_tpu.core import nurbs
+
+        return nurbs.surface_normal(coeffs, aux, x, y)
     sag_fn = _SAG_FNS[code]
     f = lambda xx, yy: sag_fn(radius, conic, coeffs, p1, p2, xx, yy, aux=aux)
     _, dfdx = jax.jvp(f, (x, y), (jnp.ones_like(x), jnp.zeros_like(y)))
@@ -431,6 +444,10 @@ def distance_static(
         return _distance_plane(x, y, z, L, M, N)
     if code == STANDARD:
         return _distance_standard(radius, conic, x, y, z, L, M, N)
+    if code == NURBS:
+        from optiland_tpu.core import nurbs
+
+        return nurbs.distance(coeffs, aux, x, y, z, L, M, N)
 
     sag_fn = _SAG_FNS[code]
     # Newton iteration from the base-conic guess

@@ -40,6 +40,7 @@ _GEOM_CODES = {
     "forbes_qbfs": geom.FORBES_QBFS,
     "forbes_q2d": geom.FORBES_Q2D,
     "grid_sag": geom.GRID_SAG,
+    "nurbs": geom.NURBS,
 }
 
 
@@ -160,6 +161,25 @@ class SurfaceGroup:
                 vals.append(v)
             coeff_arr = np.asarray(vals, float)
             geo_aux = ("q2d", tuple(nms))
+        elif surface_type == "nurbs":
+            from optiland_tpu.core.nurbs import build_nurbs_def
+
+            coeff_arr, geo_aux = build_nurbs_def(
+                radius=radius,
+                conic=conic,
+                control_points=kwargs.pop("control_points", None),
+                weights=kwargs.pop("weights", None),
+                u_degree=kwargs.pop("u_degree", None),
+                v_degree=kwargs.pop("v_degree", None),
+                u_knots=kwargs.pop("u_knots", None),
+                v_knots=kwargs.pop("v_knots", None),
+                nurbs_norm_x=kwargs.pop("nurbs_norm_x", None),
+                nurbs_norm_y=kwargs.pop("nurbs_norm_y", None),
+                x_center=kwargs.pop("nurbs_x_center", 0.0),
+                y_center=kwargs.pop("nurbs_y_center", 0.0),
+                n_points_u=kwargs.pop("n_points_u", 5),
+                n_points_v=kwargs.pop("n_points_v", 5),
+            )
         elif surface_type == "grid_sag":
             xs = tuple(float(v) for v in kwargs.pop("x_coordinates"))
             ys = tuple(float(v) for v in kwargs.pop("y_coordinates"))

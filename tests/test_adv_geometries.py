@@ -218,3 +218,92 @@ def test_q2d_vertex_normal_regular():
     )
     for comp in n:
         assert np.isfinite(np.asarray(comp)).all()
+
+
+def _nurbs_common(o):
+    o.set_aperture("EPD", 10.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.fields.add(y=3)
+    o.wavelengths.add(0.55, is_primary=True)
+
+
+def test_nurbs_explicit_parity(goldens):
+    """Fully-specified rational NURBS net traces identically to the
+    reference (reference: nurbs/nurbs_geometry.py)."""
+    g = goldens("nurbs")
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    o.surfaces.add(index=1, surface_type="nurbs", thickness=6.0,
+                   material="N-BK7", is_stop=True,
+                   control_points=g["P"].tolist(), weights=g["W"].tolist(),
+                   u_degree=3, v_degree=3, u_knots=list(g["kn"]),
+                   v_knots=list(g["kn"]))
+    o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+    o.surfaces.add(index=3)
+    _nurbs_common(o)
+    rays = o.trace(Hy=1.0, num_rays=5)
+    for c in ("x", "y", "L", "M", "N", "i"):
+        assert_allclose(getattr(rays, c), g[f"explicit_{c}"],
+                        rtol=1e-8, atol=1e-10)
+
+
+def test_nurbs_fitted_parity(goldens):
+    """Conic-fit NURBS (A9.7 LSQ approximation) matches the reference's
+    fit_surface() output."""
+    g = goldens("nurbs")
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    o.surfaces.add(index=1, surface_type="nurbs", radius=50.0, conic=-0.5,
+                   thickness=6.0, material="N-BK7", is_stop=True,
+                   nurbs_norm_x=8.0, nurbs_norm_y=8.0,
+                   n_points_u=7, n_points_v=7)
+    o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+    o.surfaces.add(index=3)
+    _nurbs_common(o)
+    rays = o.trace(Hy=1.0, num_rays=5)
+    for c in ("x", "y", "L", "M", "N", "i"):
+        assert_allclose(getattr(rays, c), g[f"fitted_{c}"],
+                        rtol=1e-8, atol=1e-10)
+
+
+def test_nurbs_control_point_gradient():
+    """Image position is differentiable w.r.t. a NURBS control point z."""
+    from optiland_tpu.core import raygen, trace as tc
+
+    nx_ = ny_ = 7
+    xs = np.linspace(-7, 7, nx_)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    Z = (X**2 + Y**2) / (2 * 80.0)
+    P = np.stack([X, Y, Z], axis=0)
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    o.surfaces.add(index=1, surface_type="nurbs", thickness=6.0,
+                   material="N-BK7", is_stop=True, control_points=P.tolist(),
+                   weights=np.ones((nx_, ny_)).tolist(), u_degree=3,
+                   v_degree=3)
+    o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+    o.surfaces.add(index=3)
+    _nurbs_common(o)
+    system = o.system
+    # z of center control point lives at flat index 2*49 + 3*7+3 in coeffs
+    idx = 2 * 49 + 3 * 7 + 3
+
+    def loss(val):
+        s = system.replace(
+            stack=system.stack.replace(
+                coeffs=system.stack.coeffs.at[1, idx].set(val)
+            )
+        )
+        rays = raygen.generate_rays(
+            s, jnp.zeros(3), jnp.ones(3), jnp.asarray([0.0, 0.5, 0.9]),
+            jnp.zeros(3), 0.55,
+        )
+        fin, _ = tc.trace(s, rays, record=False)
+        return jnp.sum(fin.y**2)
+
+    v0 = float(np.asarray(o.system.stack.coeffs[1, idx]))
+    g = jax.grad(loss)(jnp.asarray(v0))
+    fd = (loss(jnp.asarray(v0 + 1e-6)) - loss(jnp.asarray(v0 - 1e-6))) / 2e-6
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
+    assert abs(float(g)) > 1e-8

@@ -467,6 +467,61 @@ def adv_geom_goldens():
     print(f"adv_geom: {len(out)} arrays")
 
 
+def nurbs_goldens():
+    """NURBS surfaces: explicit rational net + conic-fit mode.
+
+    Note: the reference's Bezier/B-Spline convenience modes crash (self.W/U/V
+    never assigned, nurbs_geometry.py:118-233) and its fitted mode never fits
+    unless update_normalization fires; the golden invokes fit_surface()
+    manually."""
+    from optiland import optic as ropt
+    import optiland.backend as be
+
+    out = {}
+    nx_ = ny_ = 7
+    xs = np.linspace(-7, 7, nx_)
+    ys = np.linspace(-7, 7, ny_)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    Z = (X**2 + Y**2) / (2 * 80.0) + 1e-4 * X * Y
+    P = np.stack([X, Y, Z], axis=0)
+    W = np.ones((nx_, ny_))
+    W[3, 3] = 1.2
+    deg = 3
+    kn = np.concatenate(
+        [np.zeros(deg), np.linspace(0, 1, nx_ - deg + 1), np.ones(deg)]
+    )
+    out["P"], out["W"], out["kn"] = P, W, kn
+
+    o = ropt.Optic()
+    o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    o.surfaces.add(index=1, surface_type="nurbs", thickness=6.0,
+                   material="N-BK7", is_stop=True, control_points=P,
+                   weights=W, u_degree=3, v_degree=3, u_knots=kn, v_knots=kn)
+    o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+    o.surfaces.add(index=3)
+    _adv_common(o)
+    rays = o.trace(Hx=0, Hy=1.0, wavelength=0.55, num_rays=5)
+    for c in ("x", "y", "L", "M", "N", "i"):
+        out[f"explicit_{c}"] = np.asarray(getattr(rays, c))
+
+    o = ropt.Optic()
+    o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    o.surfaces.add(index=1, surface_type="nurbs", radius=50.0, conic=-0.5,
+                   thickness=6.0, material="N-BK7", is_stop=True,
+                   nurbs_norm_x=8.0, nurbs_norm_y=8.0,
+                   n_points_u=7, n_points_v=7)
+    o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+    o.surfaces.add(index=3)
+    _adv_common(o)
+    o.surfaces.surfaces[1].geometry.fit_surface()
+    rays = o.trace(Hx=0, Hy=1.0, wavelength=0.55, num_rays=5)
+    for c in ("x", "y", "L", "M", "N", "i"):
+        out[f"fitted_{c}"] = np.asarray(getattr(rays, c))
+
+    np.savez_compressed(os.path.join(OUT, "nurbs.npz"), **out)
+    print(f"nurbs: {len(out)} arrays")
+
+
 if __name__ == "__main__":
     main()
     wave_goldens()
@@ -475,3 +530,4 @@ if __name__ == "__main__":
     mmdft_goldens()
     aiming_goldens()
     adv_geom_goldens()
+    nurbs_goldens()
