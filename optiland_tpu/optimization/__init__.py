@@ -5,6 +5,7 @@ from optiland_tpu.optimization.optimizers import (
     DualAnnealing,
     LeastSquares,
     OptaxOptimizer,
+    GlassExpert,
     OptimizerGeneric,
     SHGO,
     TorchAdamOptimizer,
@@ -31,6 +32,7 @@ __all__ = [
     "Operand",
     "OptaxOptimizer",
     "OptimizationProblem",
+    "GlassExpert",
     "OptimizerGeneric",
     "PowerScaler",
     "ReciprocalScaler",

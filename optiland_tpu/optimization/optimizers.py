@@ -236,3 +236,127 @@ class TorchSGDOptimizer(OptaxOptimizer):
 
         self.optimizer = optax.sgd(lr, momentum=momentum)
         return super().optimize(n_steps=n_steps, lr=lr, **kwargs)
+
+
+class GlassExpert(OptimizerGeneric):
+    """Greedy nearest-neighbour categorical glass search with continuous
+    refinement, after CODE V's Glass Expert
+    (reference: optimization/optimizer/scipy/glass_expert.py:39-290).
+
+    Glass variables (problem.glass_variables) are substituted candidate by
+    candidate; each candidate is scored by a continuous local optimization
+    of the remaining variables, keeping improvements and rolling back
+    regressions. A global K-Means-downsampled catalogue pass precedes the
+    nearest-neighbour pass; a final continuous polish ends the run.
+    """
+
+    def __init__(self, problem):
+        super().__init__(problem)
+        self.verbose = True
+        self.plot_glass_map = False
+        self.opt_params: dict = {}
+        self._nd_vd_cache: dict = {}
+
+    def vprint(self, *args, **kwargs):
+        if self.verbose:
+            print(*args, **kwargs)
+
+    def _get_nd_vd(self, glasses):
+        from optiland_tpu.materials.glass_utils import get_nd_vd
+
+        for g in glasses:
+            if g not in self._nd_vd_cache:
+                self._nd_vd_cache[g] = get_nd_vd(g)
+        return {g: self._nd_vd_cache[g] for g in glasses}
+
+    def _continuous_optimize(self):
+        res = self.optimize(apply=True, **self.opt_params)
+        return res
+
+    def global_exploration(self, glass_variables, pool_size: int):
+        from optiland_tpu.materials.glass_utils import downsample_glass_map
+
+        if glass_variables:
+            self.vprint(f"\n{'-' * 70}\nGlobal exploration\n")
+        for variable in glass_variables:
+            self.vprint(f"Selecting {variable}:")
+            glass_dict = self._get_nd_vd(variable.glass_selection)
+            glass_dict = downsample_glass_map(
+                glass_dict, num_glasses_to_keep=pool_size
+            )
+            self.explore_glasses(glass_variables, variable,
+                                 list(glass_dict.keys()))
+
+    def local_exploration(self, glass_variables, num_neighbours: int):
+        from optiland_tpu.materials.glass_utils import get_neighbour_glasses
+
+        if glass_variables:
+            self.vprint(f"\n{'-' * 70}\nLocal exploration\n")
+        for variable in glass_variables:
+            self.vprint(f"Selecting {variable}:")
+            glass_dict = self._get_nd_vd(variable.glass_selection)
+            neighbours = get_neighbour_glasses(
+                glass=variable.value, glass_dict=glass_dict,
+                num_neighbours=num_neighbours, plot=self.plot_glass_map,
+            )
+            self.explore_glasses(glass_variables, variable, neighbours)
+
+    def _snapshot(self):
+        import copy
+
+        return copy.deepcopy(self.problem.optic.surfaces.surfaces)
+
+    def _restore(self, snap):
+        import copy
+
+        self.problem.optic.surfaces.surfaces[:] = copy.deepcopy(snap)
+        self.problem.optic._invalidate()
+
+    def explore_glasses(self, glass_variables, current_glass_variable,
+                        glasses):
+        snap_init = self._snapshot()
+        current_glass = current_glass_variable.value
+        best_glass = current_glass
+        best_error = float(self.problem.sum_squared())
+        best_error_init = best_error
+        best_snap = snap_init
+        for candidate in glasses:
+            self.vprint(
+                f"\tTrying {candidate:<8} as {current_glass_variable}. ",
+                end="",
+            )
+            self._restore(snap_init)
+            current_glass_variable.update(candidate)
+            result = self._continuous_optimize()
+            error = float(result.fun)
+            self.vprint(f"Error function value: {error:.4g}")
+            if error < best_error:
+                best_error = error
+                best_glass = candidate
+                best_snap = self._snapshot()
+        self._restore(best_snap)
+        if best_glass != current_glass and best_error < best_error_init:
+            self.vprint(
+                f"\t-> Selected {best_glass} as {current_glass_variable}."
+            )
+        else:
+            self.vprint(f"\tNo better glass found, keeping {current_glass}.")
+        self.vprint(f"\tBest error function value: {best_error:.4g}\n")
+
+    def run(self, num_neighbours: int = 7, maxiter: int = 1000,
+            tol: float = 1e-3, disp: bool = False, verbose: bool = True,
+            plot_glass_map: bool = False):
+        self.verbose = verbose
+        self.plot_glass_map = plot_glass_map
+        self.opt_params = dict(maxiter=maxiter, tol=tol, disp=disp)
+        glass_variables = self.problem.glass_variables
+        if not glass_variables:
+            self.vprint("No glass variables - skipping GlassExpert.")
+        else:
+            self.vprint(
+                "Initial glasses combination: "
+                f"{[v.value for v in glass_variables]}"
+            )
+        self.global_exploration(glass_variables, pool_size=num_neighbours)
+        self.local_exploration(glass_variables, num_neighbours=num_neighbours)
+        return self._continuous_optimize()

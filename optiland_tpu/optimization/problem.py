@@ -27,6 +27,7 @@ class OptimizationProblem:
         self.optic = optic
         self.operands: list[Operand] = []
         self.variables: list[Variable] = []
+        self.glass_variables = []  # categorical MaterialVariables
         self._fns = None
 
     def add_operand(
@@ -50,10 +51,18 @@ class OptimizationProblem:
         return op
 
     def add_variable(self, optic, var_type: str, **kwargs):
-        """Add one optimization variable (reference: problem.py:100+)."""
+        """Add one optimization variable (reference: problem.py:100+).
+
+        var_type "material" adds a categorical MaterialVariable (consumed by
+        GlassExpert), not a continuous vector entry."""
         if self.optic is None:
             self.optic = optic
-        self.variables.append(Variable(optic, var_type, **kwargs))
+        if var_type == "material":
+            from optiland_tpu.optimization.variables import MaterialVariable
+
+            self.glass_variables.append(MaterialVariable(optic, **kwargs))
+        else:
+            self.variables.append(Variable(optic, var_type, **kwargs))
         self._fns = None
 
     def clear_operands(self):
@@ -84,27 +93,34 @@ class OptimizationProblem:
     def _build(self):
         if self._fns is not None:
             return self._fns
-        base = self._base_system()
 
-        def merit(x):
+        # The jitted kernels take the base system as a pytree argument, so
+        # categorical mutations of the optic (e.g. GlassExpert substituting
+        # same-formula glasses) reuse the same compiled executable.
+        def merit(base, x):
             system = self.apply_variables(base, x)
             total = 0.0
             for op in self.operands:
                 total = total + op.fun(system)
             return total
 
-        def residuals(x):
+        def residuals(base, x):
             system = self.apply_variables(base, x)
             return jnp.stack(
                 [jnp.sqrt(op.weight) * op.delta(system) for op in self.operands]
             )
 
+        j_merit = jax.jit(merit)
+        j_grad = jax.jit(jax.grad(merit, argnums=1))
+        j_vg = jax.jit(jax.value_and_grad(merit, argnums=1))
+        j_res = jax.jit(residuals)
+        j_jac = jax.jit(jax.jacrev(residuals, argnums=1))
         self._fns = {
-            "merit": jax.jit(merit),
-            "grad": jax.jit(jax.grad(merit)),
-            "value_and_grad": jax.jit(jax.value_and_grad(merit)),
-            "residuals": jax.jit(residuals),
-            "res_jac": jax.jit(jax.jacrev(residuals)),
+            "merit": lambda x: j_merit(self._base_system(), x),
+            "grad": lambda x: j_grad(self._base_system(), x),
+            "value_and_grad": lambda x: j_vg(self._base_system(), x),
+            "residuals": lambda x: j_res(self._base_system(), x),
+            "res_jac": lambda x: j_jac(self._base_system(), x),
         }
         return self._fns
 

@@ -175,6 +175,34 @@ _BEHAVIORS = {
 }
 
 
+class MaterialVariable:
+    """Categorical glass variable: value is the glass NAME, substitutions
+    mutate the Optic directly (reference: optimization/variable/material.py:24).
+
+    Not part of the continuous optimization vector — consumed by
+    GlassExpert's greedy search.
+    """
+
+    def __init__(self, optic, surface_number: int, glass_selection,
+                 **kwargs):
+        self.optic = optic
+        self.surface_number = surface_number
+        self.glass_selection = list(glass_selection)
+
+    @property
+    def value(self) -> str:
+        mat = self.optic.surfaces.surfaces[self.surface_number].material
+        if isinstance(mat, str):
+            return mat
+        return getattr(mat, "name", str(mat))
+
+    def update(self, glass_name: str):
+        self.optic.set_material(glass_name, self.surface_number)
+
+    def __str__(self):
+        return f"Material, Surface {self.surface_number}"
+
+
 class Variable:
     """A typed optimization variable with scaler and bounds
     (reference: variable/variable.py:40)."""

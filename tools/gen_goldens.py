@@ -522,6 +522,45 @@ def nurbs_goldens():
     print(f"nurbs: {len(out)} arrays")
 
 
+_CV_SEQ = """! Test triplet in CODE V sequential format
+RDM Y
+TITLE 'CV Test Triplet'
+EPD 10.0
+WL 486.1 587.6 656.3
+WTW 1 1 1
+REF 2
+YAN 0 14 20
+SO 0.0 1e11
+S 22.01359 3.25896 NSK16_SCHOTT
+S -435.76044 6.00755
+S -22.21328 0.99997 1.603420:38.0300
+STO -25.05 4.75041
+S 79.68360 2.95208 NSK16_SCHOTT
+  CIR CLR 6.0
+S -18.39533 42.20778
+  K -0.5
+SI 0.0 0.0
+"""
+
+
+def codev_goldens():
+    """Reference's trace of a loaded CODE V .seq file."""
+    import tempfile
+
+    from optiland.fileio import load_codev_file
+
+    with tempfile.NamedTemporaryFile("w", suffix=".seq", delete=False) as f:
+        f.write(_CV_SEQ)
+        path = f.name
+    lens = load_codev_file(path)
+    out = {"f2": np.asarray(float(np.ravel(lens.paraxial.f2())[0]))}
+    r = lens.trace(Hx=0, Hy=1.0, wavelength=0.5876, num_rays=5)
+    out["y"] = np.asarray(r.y)
+    out["i"] = np.asarray(r.i)
+    np.savez_compressed(os.path.join(OUT, "codev.npz"), **out)
+    print(f"codev: {len(out)} arrays")
+
+
 if __name__ == "__main__":
     main()
     wave_goldens()
@@ -531,3 +570,4 @@ if __name__ == "__main__":
     aiming_goldens()
     adv_geom_goldens()
     nurbs_goldens()
+    codev_goldens()
