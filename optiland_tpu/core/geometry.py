@@ -281,10 +281,13 @@ def _sag_forbes_q2d(radius, conic, coeffs, p1, p2, x, y, aux=None):
 
 def _sag_grid(radius, conic, coeffs, p1, p2, x, y, aux=None):
     """Bilinear grid sag (reference: grid_sag.py:33-104). aux = ("grid",
-    x_grid, y_grid, sag_rows) as static tuples; out-of-grid points are NaN."""
+    x_grid, y_grid) as static tuples; the sag VALUES live in the coeff
+    vector (row-major, shape (ny, nx)) so they stay differentiable and can
+    be grid_sag optimization variables. Out-of-grid points are NaN."""
     xg = jnp.asarray(np.asarray(aux[1]))
     yg = jnp.asarray(np.asarray(aux[2]))
-    sg = jnp.asarray(np.asarray(aux[3]))
+    ny, nx_ = yg.shape[0], xg.shape[0]
+    sg = coeffs[: ny * nx_].reshape(ny, nx_)
     i = jnp.clip(jnp.searchsorted(xg, x, side="right") - 1, 0, xg.shape[0] - 2)
     j = jnp.clip(jnp.searchsorted(yg, y, side="right") - 1, 0, yg.shape[0] - 2)
     oob = (x < xg[0]) | (x > xg[-1]) | (y < yg[0]) | (y > yg[-1])

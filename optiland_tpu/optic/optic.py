@@ -183,17 +183,17 @@ class SurfaceGroup:
         elif surface_type == "grid_sag":
             xs = tuple(float(v) for v in kwargs.pop("x_coordinates"))
             ys = tuple(float(v) for v in kwargs.pop("y_coordinates"))
-            sags = tuple(
-                tuple(float(v) for v in row)
-                for row in kwargs.pop("sag_values")
-            )
-            if (len(sags), len(sags[0])) != (len(ys), len(xs)):
+            sags = np.asarray(kwargs.pop("sag_values"), float)
+            if sags.shape != (len(ys), len(xs)):
                 raise ValueError(
-                    f"Shape of sag_values ({len(sags)}, {len(sags[0])}) must "
+                    f"Shape of sag_values {sags.shape} must "
                     f"match (len(y_coordinates), len(x_coordinates)) = "
                     f"({len(ys)}, {len(xs)})."
                 )
-            geo_aux = ("grid", xs, ys, sags)
+            # values go into the coeff vector (differentiable); grid
+            # coordinates stay static in aux
+            coeff_arr = sags.ravel()
+            geo_aux = ("grid", xs, ys)
         phase_profile = kwargs.pop("phase_profile", None)
         coating = kwargs.pop("coating", None)
         bsdf = kwargs.pop("bsdf", None)

@@ -113,6 +113,155 @@ def OPD_difference(system, Hx, Hy, Px, Py, wavelength):
     return jnp.mean(jnp.abs(delta))
 
 
+# ---------------------------------------------------------------------------
+# Third-order aberration operands (reference: operand/aberration.py:20-200)
+# ---------------------------------------------------------------------------
+
+
+def _aberration_value(system, key):
+    from optiland_tpu.aberrations import _precalculations
+
+    p = _precalculations(system)
+    if key == "seidels":
+        return p["S"]
+    if key in ("TSC", "CC", "TAC", "TPC", "DC", "TAchC", "TchC"):
+        return p[key]
+    if key == "TCC":
+        return p["CC"] * 3
+    ua_final = p["ua"][-1]
+    base = {"SC": "TSC", "AC": "TAC", "PC": "TPC", "LchC": "TAchC"}[key]
+    return -p[base] / ua_final
+
+
+def _make_aberration(key):
+    def fn(system, surface_number):
+        return _aberration_value(system, key)[surface_number]
+
+    return fn
+
+
+def _make_aberration_sum(key):
+    def fn(system):
+        return jnp.sum(_aberration_value(system, key))
+
+    return fn
+
+
+def seidels(system, seidel_number):
+    """Seidel coefficient S_k (1-based)
+    (reference: operand/aberration.py seidels)."""
+    return _aberration_value(system, "seidels")[seidel_number - 1]
+
+
+# ---------------------------------------------------------------------------
+# Lens / geometry constraint operands (reference: operand/lens.py, ray.py)
+# ---------------------------------------------------------------------------
+
+
+def _semi_apertures(system):
+    """|y_marginal| + |y_chief| per surface (the reference's auto-computed
+    semi-apertures, surface_group update_paraxial)."""
+    ym, _ = paraxial.marginal_ray(system)
+    yc, _ = paraxial.chief_ray(system)
+    return jnp.abs(ym[:, 0]) + jnp.abs(yc[:, 0])
+
+
+def edge_thickness(system, surface_number):
+    """Edge separation between surface s and s+1 at the larger semi-aperture
+    (reference: operand/lens.py:18-60)."""
+    from optiland_tpu.core import geometry as geom
+
+    sa = _semi_apertures(system)
+    s = surface_number
+    y_edge = jnp.maximum(sa[s], sa[s + 1])
+    zero = jnp.zeros_like(y_edge)
+
+    def sag_at(k, y):
+        stack, cfg = system.stack, system.cfg
+        aux = cfg.geom_aux[k] if cfg.geom_aux is not None else None
+        return geom.sag_static(
+            cfg.geom_codes[k], stack.radius[k], stack.conic[k],
+            stack.coeffs[k], zero, y, p1=stack.geo_p1[k],
+            p2=stack.geo_p2[k], aux=aux,
+        )
+
+    thickness = system.stack.thickness[s]
+    return thickness - sag_at(s, y_edge) + sag_at(s + 1, y_edge)
+
+
+def total_track(system):
+    """Axial span of surfaces 1..image (reference: surface_group.py:209-214)."""
+    from optiland_tpu.core.system import positions
+
+    z = positions(system.stack)[1:]
+    return jnp.max(z) - jnp.min(z)
+
+
+def AOI(system, surface_number, Hx, Hy, Px, Py, wavelength):
+    """Real-ray angle of incidence (degrees, positive) at a surface
+    (reference: operand/ray.py:238-298)."""
+    from optiland_tpu.core import geometry as geom
+
+    b_in = _traced_bundle(
+        system, Hx, Hy, Px, Py, wavelength, surface_number - 1
+    )
+    b_at = _traced_bundle(system, Hx, Hy, Px, Py, wavelength, surface_number)
+    stack, cfg = system.stack, system.cfg
+    k = surface_number
+    aux = cfg.geom_aux[k] if cfg.geom_aux is not None else None
+    # the reference evaluates the normal at the recorded (global) coords
+    nx, ny, nz = geom.surface_normal_static(
+        cfg.geom_codes[k], stack.radius[k], stack.conic[k], stack.coeffs[k],
+        b_at["x"], b_at["y"], p1=stack.geo_p1[k], p2=stack.geo_p2[k], aux=aux,
+    )
+    dot = jnp.abs(b_in["L"] * nx + b_in["M"] * ny + b_in["N"] * nz)
+    ang = jnp.rad2deg(jnp.arccos(jnp.minimum(dot, 1.0)))
+    return ang[0]
+
+
+def clearance(system, line_ray_surface_idx, line_ray_field_coords,
+              line_ray_pupil_coords, point_ray_surface_idx,
+              point_ray_field_coords, point_ray_pupil_coords, wavelength):
+    """Signed YZ-plane distance from a reference ray line to a reference
+    ray point (reference: operand/ray.py:390-470)."""
+    FA_Hx, FA_Hy = line_ray_field_coords
+    FA_Px, FA_Py = line_ray_pupil_coords
+    bA = _traced_bundle(
+        system, FA_Hx, FA_Hy, jnp.atleast_1d(jnp.asarray(FA_Px, float)),
+        jnp.atleast_1d(jnp.asarray(FA_Py, float)), wavelength,
+        line_ray_surface_idx,
+    )
+    FB_Hx, FB_Hy = point_ray_field_coords
+    FB_Px, FB_Py = point_ray_pupil_coords
+    bB = _traced_bundle(
+        system, FB_Hx, FB_Hy, jnp.atleast_1d(jnp.asarray(FB_Px, float)),
+        jnp.atleast_1d(jnp.asarray(FB_Py, float)), wavelength,
+        point_ray_surface_idx,
+    )
+    yA, zA = bA["y"][0], bA["z"][0]
+    mA, nA = bA["M"][0], bA["N"][0]
+    yB, zB = bB["y"][0], bB["z"][0]
+    denom = jnp.sqrt(mA**2 + nA**2)
+    d = (nA * (yB - yA) - mA * (zB - zA)) / jnp.where(denom < 1e-9, 1.0, denom)
+    d = jnp.where(nA < 0, -d, d)
+    return jnp.where(denom < 1e-9, 0.0, d)
+
+
+def _make_intercept_lcs(comp):
+    def fn(system, Hx, Hy, Px, Py, wavelength, surface_number):
+        from optiland_tpu.core.system import positions
+
+        b = _traced_bundle(system, Hx, Hy, Px, Py, wavelength, surface_number)
+        val = b[comp][0]
+        if comp == "x":
+            return val - system.stack.dx[surface_number]
+        if comp == "y":
+            return val - system.stack.dy[surface_number]
+        return val - positions(system.stack)[surface_number]
+
+    return fn
+
+
 OPERAND_REGISTRY = {}
 OPERAND_REGISTRY.update(_PARAXIAL_OPS)
 OPERAND_REGISTRY.update(
@@ -120,13 +269,25 @@ OPERAND_REGISTRY.update(
         "real_x_intercept": _make_intercept("x"),
         "real_y_intercept": _make_intercept("y"),
         "real_z_intercept": _make_intercept("z"),
+        "real_x_intercept_lcs": _make_intercept_lcs("x"),
+        "real_y_intercept_lcs": _make_intercept_lcs("y"),
+        "real_z_intercept_lcs": _make_intercept_lcs("z"),
         "real_L": _make_intercept("L"),
         "real_M": _make_intercept("M"),
         "real_N": _make_intercept("N"),
         "rms_spot_size": rms_spot_size,
         "OPD_difference": OPD_difference,
+        "AOI": AOI,
+        "clearance": clearance,
+        "edge_thickness": edge_thickness,
+        "total_track": total_track,
+        "seidel": seidels,
     }
 )
+for _ab in ("TSC", "SC", "CC", "TCC", "TAC", "AC", "TPC", "PC", "DC",
+            "TAchC", "LchC", "TchC"):
+    OPERAND_REGISTRY[_ab] = _make_aberration(_ab)
+    OPERAND_REGISTRY[f"{_ab}_sum"] = _make_aberration_sum(_ab)
 
 
 def register_operand(name: str, fn):

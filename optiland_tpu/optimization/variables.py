@@ -164,6 +164,143 @@ class DecenterVariable(VariableBehavior):
         return system.replace(stack=stack.replace(**{field: arr}))
 
 
+class CoeffIndexVariable(VariableBehavior):
+    """One entry of the surface coefficient vector by flat index — serves
+    zernike/odd-asphere/toroidal coefficient variables
+    (reference: variable/zernike_coeff.py, polynomial_coeff.py)."""
+
+    def __init__(self, surface_number: int, coeff_number: int = 0, **kwargs):
+        super().__init__(surface_number)
+        self.coeff_number = coeff_number
+
+    def get(self, system):
+        return system.stack.coeffs[self.surface_number, self.coeff_number]
+
+    def set(self, system, value):
+        stack = system.stack
+        return system.replace(
+            stack=stack.replace(
+                coeffs=stack.coeffs.at[
+                    self.surface_number, self.coeff_number
+                ].set(value)
+            )
+        )
+
+
+class MatrixCoeffVariable(CoeffIndexVariable):
+    """A (row, col) entry of a square row-major coefficient matrix — serves
+    chebyshev/polynomial_xy variables (reference: variable/chebyshev_coeff.py,
+    polynomial_coeff.py). ``coeff_index`` is the (i, j) tuple; ``side`` the
+    matrix side length used at surface build time."""
+
+    def __init__(self, surface_number: int, coeff_index=(0, 0),
+                 side: int | None = None, **kwargs):
+        i, j = coeff_index
+        if side is None:
+            raise ValueError(
+                "MatrixCoeffVariable requires side= (the square coefficient "
+                "matrix side length used when the surface was added)."
+            )
+        super().__init__(surface_number, coeff_number=i * side + j)
+
+
+class NormRadiusVariable(VariableBehavior):
+    """Normalization radius (geo_p1) of Zernike/Forbes surfaces
+    (reference: variable/norm_radius.py)."""
+
+    def get(self, system):
+        return system.stack.geo_p1[self.surface_number]
+
+    def set(self, system, value):
+        stack = system.stack
+        return system.replace(
+            stack=stack.replace(
+                geo_p1=stack.geo_p1.at[self.surface_number].set(value)
+            )
+        )
+
+
+class IndexVariable(VariableBehavior):
+    """Refractive index of a constant-index (ideal) material
+    (reference: variable/index.py; only CONST_N materials are continuously
+    adjustable — catalog glasses are categorical, see MaterialVariable)."""
+
+    def __init__(self, surface_number: int, wavelength=None, **kwargs):
+        super().__init__(surface_number)
+
+    @staticmethod
+    def default_scaler():
+        return LinearScaler(factor=1.0, offset=-1.5)
+
+    def get(self, system):
+        return system.stack.mat_coeffs[self.surface_number, 0]
+
+    def set(self, system, value):
+        from optiland_tpu.materials.dispersion import CONST_N
+
+        if system.cfg.mat_formulas[self.surface_number] != CONST_N:
+            raise ValueError(
+                "index variables require a constant-index (ideal) material "
+                f"on surface {self.surface_number}; use a 'material' "
+                "variable for catalog glasses."
+            )
+        stack = system.stack
+        return system.replace(
+            stack=stack.replace(
+                mat_coeffs=stack.mat_coeffs.at[
+                    self.surface_number, 0
+                ].set(value)
+            )
+        )
+
+
+class GridSagVariable(CoeffIndexVariable):
+    """One node of a grid-sag surface's sag table (stored in the coeff
+    vector, row-major) (reference: variable/grid_sag.py)."""
+
+    def __init__(self, surface_number: int, row: int = 0, col: int = 0,
+                 num_cols: int | None = None, **kwargs):
+        if num_cols is None:
+            raise ValueError("GridSagVariable requires num_cols=len(x_grid).")
+        super().__init__(surface_number, coeff_number=row * num_cols + col)
+
+
+class NurbsControlPointVariable(CoeffIndexVariable):
+    """z-coordinate of a NURBS control point (reference: variable/nurbs.py).
+
+    The coefficient vector stores P as (3, nu, nv) row-major followed by W.
+    """
+
+    def __init__(self, surface_number: int, index_u: int = 0,
+                 index_v: int = 0, nu: int | None = None,
+                 nv: int | None = None, axis: int = 2, **kwargs):
+        if nu is None or nv is None:
+            raise ValueError(
+                "NurbsControlPointVariable requires nu=/nv= (control grid "
+                "shape)."
+            )
+        super().__init__(
+            surface_number,
+            coeff_number=axis * nu * nv + index_u * nv + index_v,
+        )
+
+
+class NurbsWeightVariable(CoeffIndexVariable):
+    """Weight of a NURBS control point (reference: variable/nurbs.py)."""
+
+    def __init__(self, surface_number: int, index_u: int = 0,
+                 index_v: int = 0, nu: int | None = None,
+                 nv: int | None = None, **kwargs):
+        if nu is None or nv is None:
+            raise ValueError(
+                "NurbsWeightVariable requires nu=/nv= (control grid shape)."
+            )
+        super().__init__(
+            surface_number,
+            coeff_number=3 * nu * nv + index_u * nv + index_v,
+        )
+
+
 _BEHAVIORS = {
     "radius": RadiusVariable,
     "reciprocal_radius": ReciprocalRadiusVariable,
@@ -172,6 +309,17 @@ _BEHAVIORS = {
     "asphere_coeff": AsphereCoeffVariable,
     "tilt": TiltVariable,
     "decenter": DecenterVariable,
+    "zernike_coeff": CoeffIndexVariable,
+    "polynomial_coeff": MatrixCoeffVariable,
+    "chebyshev_coeff": MatrixCoeffVariable,
+    "forbes_qbfs_coeff": CoeffIndexVariable,
+    "forbes_qnormalslope_coeff": CoeffIndexVariable,
+    "forbes_q2d_coeff": CoeffIndexVariable,
+    "norm_radius": NormRadiusVariable,
+    "index": IndexVariable,
+    "grid_sag": GridSagVariable,
+    "nurbs_control_point": NurbsControlPointVariable,
+    "nurbs_weight": NurbsWeightVariable,
 }
 
 

@@ -119,3 +119,152 @@ def test_variable_bounds_clip():
     v = Variable(lens, "radius", surface_number=1, min_val=23.0, max_val=30.0)
     sys2 = v.apply(lens.system, v.scaler.scale(10.0))
     assert float(np.asarray(sys2.stack.radius)[1]) == 23.0
+
+
+class TestNewOperands:
+    """Aberration / lens / ray constraint operands vs reference goldens
+    (reference: optimization/operand/aberration.py, lens.py, ray.py)."""
+
+    def test_aberration_operands(self, goldens):
+        import jax.numpy as jnp
+
+        from optiland_tpu.optimization.operands import OPERAND_REGISTRY
+        from optiland_tpu.samples import CookeTriplet
+
+        g = goldens("operands")
+        system = CookeTriplet().system
+        for name in ("TSC", "SC", "CC", "TCC", "TAC", "AC", "TPC", "PC",
+                     "DC", "TAchC", "LchC", "TchC"):
+            assert_allclose(
+                OPERAND_REGISTRY[name](system, surface_number=3), g[name],
+                rtol=1e-8, atol=1e-12,
+            )
+            assert_allclose(
+                OPERAND_REGISTRY[f"{name}_sum"](system), g[f"{name}_sum"],
+                rtol=1e-8, atol=1e-12,
+            )
+        assert_allclose(
+            OPERAND_REGISTRY["seidel"](system, seidel_number=1), g["seidel1"],
+            rtol=1e-8,
+        )
+
+    def test_constraint_operands(self, goldens):
+        import jax.numpy as jnp
+
+        from optiland_tpu.optimization.operands import OPERAND_REGISTRY
+        from optiland_tpu.samples import CookeTriplet
+
+        g = goldens("operands")
+        system = CookeTriplet().system
+        assert_allclose(
+            OPERAND_REGISTRY["total_track"](system), g["total_track"],
+            rtol=1e-9,
+        )
+        assert_allclose(
+            OPERAND_REGISTRY["edge_thickness"](system, surface_number=1),
+            g["edge_thickness_1"], rtol=1e-7,
+        )
+        assert_allclose(
+            OPERAND_REGISTRY["AOI"](
+                system, surface_number=1, Hx=0.0, Hy=0.5,
+                Px=jnp.asarray([0.0]), Py=jnp.asarray([0.6]), wavelength=0.55,
+            ),
+            g["AOI"], rtol=1e-8,
+        )
+        assert_allclose(
+            OPERAND_REGISTRY["clearance"](
+                system, 2, (0.0, 1.0), (0.0, 0.0), 3, (0.0, 0.0), (0.0, 1.0),
+                0.55,
+            ),
+            g["clearance"], rtol=1e-7,
+        )
+        assert_allclose(
+            OPERAND_REGISTRY["real_y_intercept_lcs"](
+                system, Hx=0.0, Hy=0.7, Px=jnp.asarray([0.0]),
+                Py=jnp.asarray([0.3]), wavelength=0.55, surface_number=2,
+            ),
+            g["y_lcs"], rtol=1e-8,
+        )
+
+
+class TestNewVariables:
+    def test_grid_sag_variable_differentiable(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from optiland_tpu.optimization import OptimizationProblem
+        from tests.test_adv_geometries import grid_lens
+
+        lens = grid_lens()
+        p = OptimizationProblem(lens)
+        p.add_operand(
+            "rms_spot_size", target=0.0,
+            input_data={"optic": lens, "Hx": 0, "Hy": 0, "num_rays": 16,
+                        "distribution": "hexapolar", "wavelength": 0.55},
+        )
+        p.add_variable(lens, "grid_sag", surface_number=1, row=17, col=17,
+                       num_cols=34)
+        g = jax.grad(p.merit_fn())(jnp.asarray(p.initial_x()))
+        assert np.isfinite(np.asarray(g)).all()
+        assert abs(float(g[0])) > 0
+
+    def test_forbes_and_norm_radius_variables(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from optiland_tpu.optimization import OptimizationProblem
+        from tests.test_adv_geometries import qbfs_lens
+
+        lens = qbfs_lens()
+        p = OptimizationProblem(lens)
+        p.add_operand(
+            "rms_spot_size", target=0.0,
+            input_data={"optic": lens, "Hx": 0, "Hy": 0, "num_rays": 16,
+                        "distribution": "hexapolar", "wavelength": 0.55},
+        )
+        p.add_variable(lens, "forbes_qbfs_coeff", surface_number=1,
+                       coeff_number=0)
+        p.add_variable(lens, "norm_radius", surface_number=1)
+        g = np.asarray(jax.grad(p.merit_fn())(jnp.asarray(p.initial_x())))
+        assert np.isfinite(g).all() and (np.abs(g) > 1e-10).all()
+
+    def test_index_variable_optimizes(self):
+        import numpy as np
+
+        from optiland_tpu.materials import IdealMaterial
+        from optiland_tpu.optic import Optic
+        from optiland_tpu.optimization import (
+            OptimizationProblem,
+            OptimizerGeneric,
+        )
+
+        o = Optic()
+        o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+        o.surfaces.add(index=1, radius=40.0, thickness=5.0,
+                       material=IdealMaterial(1.5), is_stop=True)
+        o.surfaces.add(index=2, radius=-40.0, thickness=30.0)
+        o.surfaces.add(index=3)
+        o.set_aperture("EPD", 8.0)
+        o.fields.set_type("angle")
+        o.fields.add(y=0)
+        o.wavelengths.add(0.55, is_primary=True)
+        p = OptimizationProblem(o)
+        p.add_operand("f2", target=35.0)
+        p.add_variable(o, "index", surface_number=1)
+        res = OptimizerGeneric(p).optimize(maxiter=50)
+        assert float(res.fun) < 1e-10
+
+    def test_index_variable_rejects_catalog_glass(self):
+        import pytest
+
+        from optiland_tpu.optimization import OptimizationProblem
+        from optiland_tpu.samples import CookeTriplet
+
+        lens = CookeTriplet()
+        p = OptimizationProblem(lens)
+        p.add_operand("f2", target=52.0)
+        p.add_variable(lens, "index", surface_number=1)
+        with pytest.raises(ValueError, match="constant-index"):
+            p.sum_squared()

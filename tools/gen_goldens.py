@@ -561,6 +561,41 @@ def codev_goldens():
     print(f"codev: {len(out)} arrays")
 
 
+def operand_goldens():
+    """Aberration / lens / ray constraint operand values on the Cooke
+    triplet."""
+    from optiland.optimization.operand.aberration import AberrationOperand
+    from optiland.optimization.operand.lens import LensOperand
+    from optiland.optimization.operand.paraxial import ParaxialOperand
+    from optiland.optimization.operand.ray import RayOperand
+    from optiland.samples.objectives import CookeTriplet
+
+    ref = CookeTriplet()
+    out = {}
+    for name in ("TSC", "SC", "CC", "TCC", "TAC", "AC", "TPC", "PC", "DC",
+                 "TAchC", "LchC", "TchC"):
+        out[name] = np.asarray(float(getattr(AberrationOperand, name)(ref, 3)))
+        out[f"{name}_sum"] = np.asarray(
+            float(np.sum(np.asarray(getattr(ref.aberrations, name)())))
+        )
+    out["seidel1"] = np.asarray(float(AberrationOperand.seidels(ref, 1)))
+    out["total_track"] = np.asarray(float(ParaxialOperand.total_track(ref)))
+    out["edge_thickness_1"] = np.asarray(
+        float(LensOperand.edge_thickness(ref, 1))
+    )
+    out["AOI"] = np.asarray(
+        float(RayOperand.AOI(ref, 1, 0.0, 0.5, 0.0, 0.6, 0.55))
+    )
+    out["clearance"] = np.asarray(float(RayOperand.clearance(
+        ref, 2, (0.0, 1.0), (0.0, 0.0), 3, (0.0, 0.0), (0.0, 1.0), 0.55
+    )))
+    out["y_lcs"] = np.asarray(
+        float(RayOperand.y_intercept_lcs(ref, 2, 0.0, 0.7, 0.0, 0.3, 0.55))
+    )
+    np.savez_compressed(os.path.join(OUT, "operands.npz"), **out)
+    print(f"operands: {len(out)} arrays")
+
+
 if __name__ == "__main__":
     main()
     wave_goldens()
@@ -571,3 +606,4 @@ if __name__ == "__main__":
     adv_geom_goldens()
     nurbs_goldens()
     codev_goldens()
+    operand_goldens()
