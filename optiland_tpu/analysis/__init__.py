@@ -14,6 +14,20 @@ from optiland_tpu.analysis.fans_and_fields import (
     RmsWavefrontErrorVsField,
     YYbar,
 )
+from optiland_tpu.analysis.extra import (
+    FieldIncidentAngleVsHeight,
+    IncoherentIrradiance,
+    MTFvsField,
+    PupilIncidentAngleVsHeight,
+    RadiantIntensity,
+    SurfaceSagViewer,
+)
+from optiland_tpu.analysis.image_simulation import (
+    DistortionWarper,
+    ImageSimulationEngine,
+    PSFBasisGenerator,
+    SpatiallyVariableSimulator,
+)
 from optiland_tpu.analysis.jones_pupil import JonesPupil
 from optiland_tpu.analysis.opd import OPD, OPDFan, ZernikeOPD
 from optiland_tpu.analysis.spot import SpotDiagram, SpotData, rms_spot_size
@@ -23,7 +37,17 @@ __all__ = [
     "EncircledEnergy",
     "FieldCurvature",
     "GridDistortion",
+    "DistortionWarper",
+    "FieldIncidentAngleVsHeight",
+    "ImageSimulationEngine",
+    "IncoherentIrradiance",
     "JonesPupil",
+    "MTFvsField",
+    "PSFBasisGenerator",
+    "PupilIncidentAngleVsHeight",
+    "RadiantIntensity",
+    "SpatiallyVariableSimulator",
+    "SurfaceSagViewer",
     "OPD",
     "OPDFan",
     "PupilAberration",

@@ -374,7 +374,14 @@ class SampledMTF:
         integrals of the complex pupil function."""
         wl_mm = self.wavelength * 1e-3
         amp = jnp.sqrt(jnp.maximum(self.data.intensity, 0.0))
-        P = amp * jnp.exp(1j * 2 * jnp.pi * self.data.opd)
+        # vignetted/invalid rays carry zero intensity but NaN OPD; mask them
+        # so they contribute nothing rather than poisoning the sums
+        opd = jnp.where(
+            (self.data.intensity > 0) & jnp.isfinite(self.data.opd),
+            self.data.opd, 0.0,
+        )
+        amp = jnp.where(jnp.isfinite(self.data.opd), amp, 0.0)
+        P = amp * jnp.exp(1j * 2 * jnp.pi * opd)
         # pupil radius in cutoff-normalized units: shift s = lambda * f * FNO
         out = []
         denom = jnp.sum(amp**2)

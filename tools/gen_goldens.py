@@ -596,6 +596,31 @@ def operand_goldens():
     print(f"operands: {len(out)} arrays")
 
 
+def colorimetry_goldens():
+    """CIE XYZ / sRGB values from the reference colorimetry engine."""
+    from optiland.colorimetry.core import (
+        spectrum_to_xyz,
+        xyz_to_srgb,
+        xyz_to_xyY,
+    )
+
+    wl = np.linspace(360, 830, 200)
+    spec = 0.5 + 0.4 * np.sin((wl - 380) / 80.0)
+    xyz = spectrum_to_xyz(list(wl), list(spec))
+    out = {
+        "wl": wl,
+        "spec": spec,
+        "xyz": np.asarray(xyz, float),
+        "xyz10": np.asarray(
+            spectrum_to_xyz(list(wl), list(spec), observer="10deg"), float
+        ),
+        "srgb": np.asarray([int(v) for v in xyz_to_srgb(*xyz)]),
+        "xyY": np.asarray(xyz_to_xyY(*xyz), float),
+    }
+    np.savez_compressed(os.path.join(OUT, "colorimetry.npz"), **out)
+    print(f"colorimetry: {len(out)} arrays")
+
+
 if __name__ == "__main__":
     main()
     wave_goldens()
@@ -607,3 +632,4 @@ if __name__ == "__main__":
     nurbs_goldens()
     codev_goldens()
     operand_goldens()
+    colorimetry_goldens()
