@@ -33,6 +33,10 @@ from optiland_tpu.samples import CookeTriplet  # noqa: E402
 
 NUM_RAYS = int(os.environ.get("BENCH_RAYS", 16_000_000))
 ITERS = int(os.environ.get("BENCH_ITERS", 8))
+# BENCH_MESH=N: shard rays over an N-device mesh (shard_map around the
+# Pallas kernel; psum'd parameter gradients). N must divide the local
+# device count; defaults to single-device.
+MESH_N = int(os.environ.get("BENCH_MESH", 0))
 WAVELENGTH = 0.55
 
 
@@ -42,6 +46,12 @@ def main():
     num_traced_surfaces = system.cfg.num_surfaces - 1
     on_tpu = jax.default_backend() != "cpu"
     use_pallas = pallas_supported(system) and on_tpu
+    mesh = None
+    if MESH_N:
+        from optiland_tpu.parallel.mesh import make_mesh, replicated
+
+        mesh = make_mesh(MESH_N)
+        system = jax.device_put(system, replicated(mesh))
 
     def gen(key, sys_):
         k1, k2 = jax.random.split(key)
@@ -55,7 +65,11 @@ def main():
         )
 
     def final_xy(sys_, rays_):
-        if use_pallas:
+        if use_pallas and mesh is not None:
+            from optiland_tpu.parallel.sharded_trace import trace_fast_sharded
+
+            out = trace_fast_sharded(sys_, rays_, WAVELENGTH, mesh=mesh)
+        elif use_pallas:
             out = trace_fast(sys_, rays_, WAVELENGTH)
         else:
             out, _ = xla_trace.trace(sys_, rays_, record=False)
@@ -114,6 +128,7 @@ def main():
                     "t_fwdbwd_s": t_fwdbwd,
                     "t_fwd_s": t_fwd,
                     "kernel": "pallas" if use_pallas else "xla",
+                    "mesh": MESH_N or 1,
                     "device": str(jax.devices()[0]),
                 },
             }

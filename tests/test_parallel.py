@@ -1,0 +1,130 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh.
+
+Covers jit+NamedSharding auto-partitioning of the XLA trace and the
+shard_map path for the fused Pallas kernel (GSPMD cannot split custom
+kernels automatically)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optiland_tpu.core import raygen
+from optiland_tpu.core import trace as trace_core
+from optiland_tpu.parallel.mesh import (
+    make_mesh,
+    pad_to_multiple,
+    ray_sharding,
+    replicated,
+    shard_rays,
+)
+from optiland_tpu.samples import CookeTriplet
+from tests.conftest import assert_allclose
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("virtual multi-device mesh unavailable")
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def system():
+    return CookeTriplet().system
+
+
+def _rays(system, n, dtype=None):
+    rng = np.random.default_rng(0)
+    r = np.sqrt(rng.uniform(size=n))
+    th = rng.uniform(0, 2 * np.pi, size=n)
+    Px = jnp.asarray(r * np.cos(th))
+    Py = jnp.asarray(r * np.sin(th))
+    rays = raygen.generate_rays(
+        system, jnp.zeros(n), jnp.zeros(n), Px, Py, 0.55
+    )
+    if dtype is not None:
+        rays = jax.tree_util.tree_map(lambda a: a.astype(dtype), rays)
+    return rays
+
+
+def test_xla_trace_auto_partitions(mesh, system):
+    """jit + NamedSharding splits the standard trace across devices and
+    matches the single-device result exactly."""
+    n = pad_to_multiple(1000, len(jax.devices()))
+    rays = _rays(system, n)
+    ref, _ = trace_core.trace(system, rays, record=False)
+
+    rays_sh = shard_rays(rays, mesh)
+    sys_sh = jax.device_put(system, replicated(mesh))
+    traced = jax.jit(lambda s, r: trace_core.trace(s, r, record=False)[0])
+    out = traced(sys_sh, rays_sh)
+    assert_allclose(out.y, ref.y, rtol=1e-12, atol=1e-12)
+    # output really is sharded over the mesh
+    assert ray_sharding(mesh).is_equivalent_to(out.y.sharding, out.y.ndim)
+
+
+def test_sharded_pallas_forward_matches(mesh, system):
+    from optiland_tpu.parallel.sharded_trace import trace_fast_sharded
+
+    n = pad_to_multiple(2048, len(jax.devices()))
+    rays = _rays(system, n, dtype=jnp.float32)
+    rays_sh = shard_rays(rays, mesh)
+    out = trace_fast_sharded(system, rays_sh, 0.55)
+    ref, _ = trace_core.trace(system, rays, record=False)
+    assert_allclose(out.y, np.asarray(ref.y, np.float32), rtol=0, atol=2e-5)
+
+
+def test_sharded_pallas_gradient_matches_unsharded(mesh, system):
+    """shard_map transpose psums the replicated-parameter cotangents; the
+    result is bit-identical to the single-shard gradient."""
+    from optiland_tpu.ops.pallas_trace import trace_fast
+    from optiland_tpu.parallel.sharded_trace import sharded_merit
+
+    n = pad_to_multiple(2048, len(jax.devices()))
+    rays = _rays(system, n, dtype=jnp.float32)
+    rays_sh = shard_rays(rays, mesh)
+
+    def merit_unsharded(r1):
+        s = system.replace(
+            stack=system.stack.replace(
+                radius=system.stack.radius.at[1].set(r1)
+            )
+        )
+        out = trace_fast(s, rays, 0.55)
+        w = jnp.where(out.i > 0, 1.0, 0.0)
+        tw = jnp.maximum(jnp.sum(w), 1.0)
+        cx = jnp.sum(out.x * w) / tw
+        cy = jnp.sum(out.y * w) / tw
+        return jnp.sqrt(
+            jnp.sum(((out.x - cx) ** 2 + (out.y - cy) ** 2) * w) / tw
+        )
+
+    def merit_shard(r1):
+        s = system.replace(
+            stack=system.stack.replace(
+                radius=system.stack.radius.at[1].set(r1)
+            )
+        )
+        return sharded_merit(s, rays_sh, 0.55, mesh=mesh)
+
+    g1 = float(jax.grad(merit_unsharded)(jnp.float32(22.01359)))
+    g2 = float(jax.grad(merit_shard)(jnp.float32(22.01359)))
+    np.testing.assert_allclose(g2, g1, rtol=1e-6)
+
+
+def test_indivisible_ray_count_raises(mesh, system):
+    from optiland_tpu.parallel.sharded_trace import trace_fast_sharded
+
+    n = len(jax.devices()) * 64 + 1
+    rays = _rays(system, n, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        trace_fast_sharded(system, rays, 0.55, mesh=mesh)
+
+
+def test_pad_to_multiple():
+    assert pad_to_multiple(1000, 8) == 1000
+    assert pad_to_multiple(1001, 8) == 1008
+    assert pad_to_multiple(8, 8) == 8
