@@ -466,4 +466,7 @@ def _scale_chief_ray(system: System, y_obj_unit, u_obj_unit, y_img_unit):
         return target_slope / u_obj_unit
     if ft == "object_height":
         return max_y_field / y_obj_unit
+    if ft in ("paraxial_image_height", "real_image_height"):
+        # (reference: fields/field_types/paraxial_image_height.py:104-122)
+        return max_y_field / y_img_unit
     raise NotImplementedError(f"Field type {ft} not yet supported")

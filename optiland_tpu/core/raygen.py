@@ -89,7 +89,119 @@ def get_ray_origins(system: System, Hx, Hy, Px, Py, vx, vy,
         z0 = sag + pos[0]
         return x0, y0, z0
 
+    if ft in ("paraxial_image_height", "real_image_height"):
+        x0, y0, z0 = _image_height_origins(
+            system, field_x, field_y, Px, Py, vx, vy, epl, epd,
+            real=(ft == "real_image_height"),
+        )
+        return x0, y0, z0
+
     raise NotImplementedError(f"Field type {ft} not yet supported")
+
+
+def _unit_chief(system: System):
+    """(y_img_unit, y_obj_unit, u_obj_unit) from unit traces launched at the
+    stop (reference: fields/field_types/paraxial_image_height.py:142-160)."""
+    cfg = system.cfg
+    pos = positions(system.stack)
+    stop = cfg.stop_index
+    S = cfg.num_surfaces
+    y_im, _ = paraxial.trace_generic(
+        system, 0.0, 1.0, pos[stop], skip=stop
+    )
+    y_ob, u_ob = paraxial.trace_generic(
+        system, 0.0, 1.0, pos[-1] - pos[stop], reverse=True, skip=S - stop
+    )
+    return y_im[-1][0], y_ob[-1][0], u_ob[-1][0]
+
+
+def _image_height_origins(system, field_x, field_y, Px, Py, vx, vy,
+                          epl=None, epd=None, real=False):
+    """Ray origins for image-height field definitions
+    (reference: fields/field_types/paraxial_image_height.py:20-100,
+    real_image_height.py:14-140). The real variant refines the chief-ray
+    parameters with a fixed-count masked secant iteration on real traces."""
+    cfg = system.cfg
+    pos = positions(system.stack)
+    if epl is None:
+        epl, epd = paraxial.pupil_scalars(system)
+    y_img_unit, y_obj_unit, u_obj_unit = _unit_chief(system)
+
+    if cfg.obj_infinite:
+        val_x = u_obj_unit * (field_x / y_img_unit)
+        val_y = u_obj_unit * (field_y / y_img_unit)
+        jac = y_img_unit / u_obj_unit
+    else:
+        val_x = y_obj_unit * (field_x / y_img_unit)
+        val_y = y_obj_unit * (field_y / y_img_unit)
+        jac = y_img_unit / y_obj_unit
+
+    def origins(vx_, vy_, Px_, Py_, fvx, fvy):
+        if cfg.obj_infinite:
+            offset = epd - jnp.min(pos[1:-1])
+            x = -vx_ * (offset + epl)
+            y = -vy_ * (offset + epl)
+            z = pos[1] - offset
+            x0, y0 = jnp.broadcast_arrays(
+                Px_ * epd / 2 * fvx + x, Py_ * epd / 2 * fvy + y
+            )
+            z0 = jnp.broadcast_to(z, x0.shape)
+            return x0, y0, z0
+        from optiland_tpu.core import geometry as geom
+
+        x0 = vx_ + 0.0 * Px_
+        y0 = vy_ + 0.0 * Py_
+        sag = geom.sag_static(
+            cfg.geom_codes[0], system.stack.radius[0],
+            system.stack.conic[0], system.stack.coeffs[0], x0, y0,
+            p1=system.stack.geo_p1[0], p2=system.stack.geo_p2[0],
+            aux=cfg.geom_aux[0] if cfg.geom_aux is not None else None,
+        )
+        return x0, y0, sag + pos[0]
+
+    if real:
+        # Secant-refined real chief aiming (fixed 10 iterations, masked)
+        # (reference: real_image_height.py:60-140)
+        from optiland_tpu.core import trace as trace_core
+        from optiland_tpu.core.rays import RealRays
+
+        z_pupil = pos[1] + epl
+        target_x, target_y = field_x, field_y
+        prev_val_x = prev_val_y = prev_cur_x = prev_cur_y = None
+        zeros = jnp.zeros_like(val_x)
+        for _ in range(10):
+            x0, y0, z0 = origins(val_x, val_y, zeros, zeros, 0.0, 0.0)
+            mag = jnp.sqrt(x0**2 + y0**2 + (z_pupil - z0) ** 2)
+            rays = RealRays.create(
+                x0, y0, z0, -x0 / mag, -y0 / mag, (z_pupil - z0) / mag,
+                jnp.ones_like(x0),
+                jnp.full_like(x0, system.primary_wavelength),
+            )
+            fin, _ = trace_core.trace(system, rays, record=False)
+            cur_x, cur_y = fin.x, fin.y
+            err_x = cur_x - target_x
+            err_y = cur_y - target_y
+            if prev_val_x is None:
+                new_val_x = val_x - err_x / jac
+                new_val_y = val_y - err_y / jac
+            else:
+                d_vx = val_x - prev_val_x
+                d_vy = val_y - prev_val_y
+                jx = jnp.where(
+                    jnp.abs(d_vx) > 1e-12, (cur_x - prev_cur_x) /
+                    jnp.where(jnp.abs(d_vx) > 1e-12, d_vx, 1.0), jac,
+                )
+                jy = jnp.where(
+                    jnp.abs(d_vy) > 1e-12, (cur_y - prev_cur_y) /
+                    jnp.where(jnp.abs(d_vy) > 1e-12, d_vy, 1.0), jac,
+                )
+                new_val_x = val_x - err_x / jx
+                new_val_y = val_y - err_y / jy
+            prev_val_x, prev_val_y = val_x, val_y
+            prev_cur_x, prev_cur_y = cur_x, cur_y
+            val_x, val_y = new_val_x, new_val_y
+
+    return origins(val_x, val_y, Px, Py, vx, vy)
 
 
 def aim_rays_paraxial(system: System, Hx, Hy, Px, Py):

@@ -65,14 +65,45 @@ def huygens_field(
     return fields.reshape(-1)[:P]
 
 
+def _native_eligible(*arrays):
+    """True when the native C++/OpenMP kernel may be used: CPU backend,
+    concrete (non-traced) inputs, library available, not disabled."""
+    import os
+
+    if os.environ.get("OPTILAND_TPU_NATIVE", "1") == "0":
+        return False
+    if jax.default_backend() != "cpu":
+        return False
+    if any(isinstance(a, jax.core.Tracer) for a in arrays):
+        return False
+    from optiland_tpu import _native
+
+    return _native.available()
+
+
 def huygens_psf_from_data(
     data, image_x, image_y, image_z, wavelength_um, chunk: int = 4096
 ):
-    """|field|^2 over an image grid given WavefrontData."""
+    """|field|^2 over an image grid given WavefrontData.
+
+    On the CPU backend with concrete inputs this dispatches to the native
+    C++/OpenMP kernel (the runtime analogue of the reference's numba
+    strategy); traced/jitted/TPU evaluation uses the jnp path so
+    differentiation and fusion are unaffected.
+    """
     wl_mm = wavelength_um * 1e-3
     amp = jnp.sqrt(jnp.maximum(data.intensity, 0.0))
     opd_mm = data.opd * wl_mm
     shape = image_x.shape
+    if _native_eligible(image_x, data.pupil_x, amp, opd_mm, data.radius):
+        from optiland_tpu import _native
+
+        psf = _native.huygens_psf_native(
+            np.asarray(image_x).ravel(), np.asarray(image_y).ravel(),
+            np.asarray(image_z).ravel(), data.pupil_x, data.pupil_y,
+            data.pupil_z, amp, opd_mm, float(wl_mm), float(data.radius),
+        )
+        return jnp.asarray(psf.reshape(shape))
     f = huygens_field(
         image_x.ravel(), image_y.ravel(), image_z.ravel(),
         data.pupil_x, data.pupil_y, data.pupil_z,
@@ -90,10 +121,26 @@ def vectorial_huygens_psf_from_data(
     opd_mm = data.opd * wl_mm
     is_valid = data.intensity > 0
     shape = image_x.shape
+    use_native = _native_eligible(
+        image_x, data.pupil_x, data.E_exits[0], opd_mm, data.radius
+    )
     psf = jnp.zeros(shape)
     for E_exit in data.E_exits:
         for comp in range(3):
             amp = jnp.where(is_valid, E_exit[:, comp], 0.0)
+            if use_native:
+                from optiland_tpu import _native
+
+                psf = psf + jnp.asarray(
+                    _native.huygens_psf_native(
+                        np.asarray(image_x).ravel(),
+                        np.asarray(image_y).ravel(),
+                        np.asarray(image_z).ravel(),
+                        data.pupil_x, data.pupil_y, data.pupil_z,
+                        amp, opd_mm, float(wl_mm), float(data.radius),
+                    ).reshape(shape)
+                )
+                continue
             f = huygens_field(
                 image_x.ravel(), image_y.ravel(), image_z.ravel(),
                 data.pupil_x, data.pupil_y, data.pupil_z,

@@ -152,3 +152,32 @@ def test_scale_system():
     lens.scale_system(2.0)
     f2_after = float(np.ravel(lens.paraxial.f2())[0])
     assert_allclose(f2_after, 2 * f2_before, rtol=1e-9)
+
+
+def test_propagation_models():
+    """Propagation model shims (reference: optiland/propagation/)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from optiland_tpu.core.rays import RealRays
+    from optiland_tpu.materials import IdealMaterial
+    from optiland_tpu.propagation import (
+        BasePropagationModel,
+        GRINPropagation,
+        HomogeneousPropagation,
+    )
+
+    rays = RealRays.create(
+        jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+        jnp.zeros(3), jnp.zeros(3), jnp.ones(3),
+        jnp.ones(3), jnp.full((3,), 0.55),
+    )
+    model = HomogeneousPropagation(IdealMaterial(1.5))
+    out = model.propagate(rays, 10.0)
+    assert_allclose(out.z, jnp.full((3,), 10.0))
+    assert_allclose(out.opd, jnp.full((3,), 15.0))
+    with pytest.raises(NotImplementedError):
+        GRINPropagation().propagate(rays, 1.0)
+    d = model.to_dict()
+    model2 = BasePropagationModel.from_dict(d, IdealMaterial(1.5))
+    assert isinstance(model2, HomogeneousPropagation)

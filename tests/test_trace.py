@@ -80,3 +80,77 @@ def test_multi_field_trace_shapes():
     res = lens.trace(Hx=[0.0, 0.0], Hy=[0.0, 1.0], num_rays=3)
     npup = 1 + 3 * 3 * (3 + 1)  # hexapolar rings formula
     assert res.x.shape[0] == 2 * npup
+
+
+class TestImageHeightFieldTypes:
+    """paraxial_image_height / real_image_height field definitions
+    (reference: fields/field_types/paraxial_image_height.py,
+    real_image_height.py)."""
+
+    @staticmethod
+    def _lens(ftype):
+        from optiland_tpu.optic import Optic
+
+        o = Optic()
+        o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+        o.surfaces.add(index=1, radius=22.01359, thickness=3.25896,
+                       material="SK16", is_stop=True)
+        o.surfaces.add(index=2, radius=-435.76044, thickness=6.00755)
+        o.surfaces.add(index=3, radius=-22.21328, thickness=0.99997,
+                       material=("F2", "schott"))
+        o.surfaces.add(index=4, radius=20.29192, thickness=4.75041)
+        o.surfaces.add(index=5, radius=79.68360, thickness=2.95208,
+                       material="SK16")
+        o.surfaces.add(index=6, radius=-18.39533, thickness=42.20778)
+        o.surfaces.add(index=7)
+        o.set_aperture("EPD", 10.0)
+        o.fields.set_type(ftype)
+        o.fields.add(y=0)
+        o.fields.add(y=18.0)
+        o.wavelengths.add(0.55, is_primary=True)
+        return o
+
+    @pytest.mark.parametrize(
+        "ftype", ["paraxial_image_height", "real_image_height"]
+    )
+    def test_trace_parity(self, goldens, ftype):
+        g = goldens("field_types")
+        o = self._lens(ftype)
+        r = o.trace(Hy=1.0, num_rays=5)
+        assert_allclose(r.y, g[f"{ftype}_y"], rtol=1e-9, atol=1e-11)
+        assert_allclose(r.x, g[f"{ftype}_x"], rtol=1e-9, atol=1e-11)
+        yc, _ = o.paraxial.chief_ray()
+        assert_allclose(
+            np.ravel(np.asarray(yc)), g[f"{ftype}_chief_y"],
+            rtol=1e-9, atol=1e-11,
+        )
+
+    def test_real_image_height_hits_target(self):
+        """The secant-aimed chief ray lands exactly at the requested image
+        height."""
+        o = self._lens("real_image_height")
+        r = o.trace_generic(Hx=0.0, Hy=1.0, Px=0.0, Py=0.0, wavelength=0.55)
+        np.testing.assert_allclose(float(np.asarray(r.y)[0]), 18.0,
+                                   atol=1e-9)
+
+    def test_real_image_height_interior_stop_finite(self):
+        """Finite conjugates with an interior stop: the secant aim lands on
+        the requested height. (The reference's secant loop diverges on this
+        configuration — its prev/curr bookkeeping skips updates on the first
+        iterations, real_image_height.py:100-140 — so this asserts correct
+        physics rather than parity.)"""
+        from optiland_tpu.optic import Optic
+
+        o = Optic()
+        o.surfaces.add(index=0, thickness=80.0)
+        o.surfaces.add(index=1, radius=35.0, thickness=6.0, material="N-BK7")
+        o.surfaces.add(index=2, radius=-35.0, thickness=3.0)
+        o.surfaces.add(index=3, thickness=47.0, is_stop=True)
+        o.surfaces.add(index=4)
+        o.set_aperture("EPD", 8.0)
+        o.fields.set_type("real_image_height")
+        o.fields.add(y=0)
+        o.fields.add(y=10.0)
+        o.wavelengths.add(0.55, is_primary=True)
+        r = o.trace_generic(Hx=0.0, Hy=0.8, Px=0.0, Py=0.0, wavelength=0.55)
+        np.testing.assert_allclose(float(np.asarray(r.y)[0]), 8.0, atol=1e-8)

@@ -141,3 +141,62 @@ def test_mmdft_image_size_validation(cooke):
     with pytest.raises(ValueError):
         MMDFTPSF(cooke, (0, 0), 0.5876, num_rays=32, image_size=4096,
                  pixel_pitch=1.5)
+
+
+def test_native_huygens_kernel_parity():
+    """The C++/OpenMP Huygens kernel matches the jnp path to 1e-9 and the
+    traced (grad) path still uses jnp (native/huygens.cpp)."""
+    import os
+
+    from optiland_tpu import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native kernel unavailable (no compiler)")
+    from optiland_tpu.psf import HuygensPSF
+    from optiland_tpu.samples import CookeTriplet
+
+    lens = CookeTriplet()
+    h_nat = HuygensPSF(lens, (0, 0.5), 0.55, num_rays=32, image_size=24)
+    os.environ["OPTILAND_TPU_NATIVE"] = "0"
+    try:
+        h_jnp = HuygensPSF(lens, (0, 0.5), 0.55, num_rays=32, image_size=24)
+    finally:
+        os.environ["OPTILAND_TPU_NATIVE"] = "1"
+    assert_allclose(h_nat.psf, h_jnp.psf, rtol=1e-7, atol=1e-9)
+
+
+def test_native_kernel_direct():
+    import numpy as np
+
+    from optiland_tpu import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native kernel unavailable")
+    rng = np.random.default_rng(1)
+    n_img, n_pup = 64, 100
+    ix, iy = rng.uniform(-0.1, 0.1, (2, n_img))
+    iz = np.full(n_img, 50.0)
+    px, py = rng.uniform(-5, 5, (2, n_pup))
+    pz = rng.uniform(40, 41, n_pup)
+    amp = rng.uniform(0, 1, n_pup)
+    opd = rng.uniform(0, 1e-3, n_pup)
+    f = _native.huygens_field_native(ix, iy, iz, px, py, pz, amp, opd,
+                                     0.55e-3, 50.0)
+    p = _native.huygens_psf_native(ix, iy, iz, px, py, pz, amp, opd,
+                                   0.55e-3, 50.0)
+    assert_allclose(np.abs(f) ** 2, p, rtol=1e-10)
+    # reference jnp formulation
+    import jax.numpy as jnp
+
+    from optiland_tpu.psf.huygens_fresnel import huygens_field
+
+    f2 = huygens_field(
+        jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(iz), jnp.asarray(px),
+        jnp.asarray(py), jnp.asarray(pz), jnp.asarray(amp), jnp.asarray(opd),
+        0.55e-3, 50.0,
+    )
+    assert_allclose(f, np.asarray(f2), rtol=1e-9, atol=1e-12)

@@ -633,3 +633,37 @@ if __name__ == "__main__":
     codev_goldens()
     operand_goldens()
     colorimetry_goldens()
+    field_type_goldens()
+
+
+def field_type_goldens():
+    """Image-height field definitions on the Cooke triplet."""
+    from optiland import optic as ropt
+    import optiland.backend as be
+
+    out = {}
+    for ftype in ("paraxial_image_height", "real_image_height"):
+        o = ropt.Optic()
+        o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+        o.surfaces.add(index=1, radius=22.01359, thickness=3.25896,
+                       material="SK16", is_stop=True)
+        o.surfaces.add(index=2, radius=-435.76044, thickness=6.00755)
+        o.surfaces.add(index=3, radius=-22.21328, thickness=0.99997,
+                       material=("F2", "schott"))
+        o.surfaces.add(index=4, radius=20.29192, thickness=4.75041)
+        o.surfaces.add(index=5, radius=79.68360, thickness=2.95208,
+                       material="SK16")
+        o.surfaces.add(index=6, radius=-18.39533, thickness=42.20778)
+        o.surfaces.add(index=7)
+        o.set_aperture("EPD", 10.0)
+        o.fields.set_type(ftype)
+        o.fields.add(y=0)
+        o.fields.add(y=18.0)
+        o.wavelengths.add(0.55, is_primary=True)
+        rays = o.trace(Hx=0, Hy=1.0, wavelength=0.55, num_rays=5)
+        out[f"{ftype}_y"] = np.asarray(rays.y)
+        out[f"{ftype}_x"] = np.asarray(rays.x)
+        yc, uc = o.paraxial.chief_ray()
+        out[f"{ftype}_chief_y"] = np.ravel(np.asarray(yc))
+    np.savez_compressed(os.path.join(OUT, "field_types.npz"), **out)
+    print(f"field_types: {len(out)} arrays")
