@@ -35,6 +35,9 @@ class WavefrontData:
     # For polarized systems: tuple of (R, 3) complex exit E-fields (one for
     # polarized light, two incoherent for unpolarized); else None.
     E_exits: tuple = None
+    # Reference geometry center (cx, cy, cz) for centroid/best_fit
+    # strategies; None for chief_ray (reference exposes strategy.center).
+    center: tuple = None
 
 
 def _sphere_path_length(x, y, z, L, M, N, center, R, n_medium):
@@ -227,6 +230,7 @@ def compute_wavefront_data(
             cy = jnp.sum(y * w) / tw
             cz = jnp.sum(z * w) / tw
 
+        center_out = (cx, cy, cz)
         if strategy == "centroid":
             if reference_type == "sphere":
                 d_wf = jnp.sqrt((wx - cx) ** 2 + (wy - cy) ** 2 + (wz - cz) ** 2)
@@ -293,6 +297,7 @@ def compute_wavefront_data(
             opd=opd_wv,
             intensity=rays.i,
             radius=R,
+            center=(cx, cy, cz) if strategy == "centroid" else _bf_center,
             **pol_kwargs(rays, p_mat, i0),
         )
 
