@@ -3,9 +3,9 @@
 The XLA trace path round-trips the ray state through HBM between fused
 kernels; these Pallas kernels keep a tile of rays resident in VMEM while
 looping over *all* surfaces (localize -> intersect -> propagate -> OPD ->
-clip -> refract/reflect), so each ray costs one HBM read and one write for
-the entire trace — the speed-of-light regime for this memory-bound
-workload on TPU.
+clip -> refract/reflect -> globalize), so each ray costs one HBM read and
+one write for the entire trace — the speed-of-light regime for this
+memory-bound workload on TPU.
 
 Forward: one kernel, grid over ray tiles.
 Backward: a second kernel that re-traces the tile and runs the VJP of the
@@ -15,17 +15,28 @@ gradients accumulated across the sequential grid into a single VMEM block.
 This removes the HBM residual traffic and the dozens of full-array
 reductions XLA's transpose emits for scalar-parameter gradients.
 
-Scope (falls back to the XLA path otherwise): untilted systems,
-plane/conic/even-asphere surfaces, monochromatic bundles (per-surface
-indices precomputed at the trace wavelength), radial intensity-mask
-vignetting, Beer-Lambert absorption. Physics matches
-optiland_tpu.core.trace exactly (f32).
+The per-surface physics is the SAME code as the XLA path: sag families and
+surface normals come from optiland_tpu.core.geometry (Newton intersection
+derivative by jax.jvp — forward-mode AD, not finite differences), so every
+geometry family whose sag lowers on TPU is covered: plane, conic,
+even/odd asphere, polynomial XY, Chebyshev, Zernike sag, toroidal, biconic,
+Forbes Qbfs/Q2d. Tilted/decentered surfaces run the localize/globalize
+rotations in-kernel. Monochromatic bundles use a precomputed per-surface
+index table; polychromatic bundles (trace_fast_poly) carry the wavelength
+as a ray array and evaluate each glass's dispersion formula in-kernel.
+
+Unsupported (falls back to the XLA path): grid-sag / NURBS geometries
+(gather-based sag), interaction models (thin lens/phase/grating), physical
+aperture objects, coatings/BSDFs/polarization, and absorption in the
+polychromatic mode.
+
+(reference for semantics: optiland/surfaces/standard_surface.py:200-248,
+geometries/newton_raphson.py:119-168, rays/real_rays.py:163-205)
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,102 +45,116 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from optiland_tpu.core import geometry as geom
+from optiland_tpu.materials import dispersion
 
 TILE_ROWS_FWD = 64  # rows of 128 lanes per program: 8192 rays/tile
 TILE_ROWS_BWD = 16  # smaller tile for the adjoint (more live values)
 LANE = 128
 
 # param table columns
-P_RADIUS, P_CONIC, P_POS, P_NPOST, P_APMAX, P_KPRE = range(6)
-NUM_P = 6
+(
+    P_RADIUS, P_CONIC, P_POS, P_NPOST, P_APMAX, P_KPRE,
+    P_DX, P_DY, P_RX, P_RY, P_RZ, P_G1, P_G2,
+) = range(13)
+NUM_P = 13
+
+# Geometry families the kernels cover (all closed-form or Newton-from-sag;
+# grid/NURBS need gathers that do not lower well on TPU).
+OK_CODES = frozenset({
+    geom.PLANE, geom.STANDARD, geom.EVEN_ASPHERE, geom.ODD_ASPHERE,
+    geom.POLYNOMIAL_XY, geom.CHEBYSHEV, geom.ZERNIKE_SAG, geom.TOROIDAL,
+    geom.BICONIC, geom.FORBES_QBFS, geom.FORBES_Q2D,
+})
 
 
-def _step_tile(s, code, reflective, getp, getc, nc, state, newton_iters,
-               wavelength_um):
+def _rot_local(x, y, z, L, M, N, rx, ry, rz):
+    """Localize rotation: R_x(-rx) R_y(-ry) R_z(-rz) applied to positions and
+    directions (matches optiland_tpu.core.trace._surface_step order;
+    reference: coordinate_system.py:73-89)."""
+    from optiland_tpu.ops import kernels
+
+    x, y, L, M = kernels.rotate_z(x, y, L, M, -rz)
+    x, z, L, N = kernels.rotate_y(x, z, L, N, -ry)
+    y, z, M, N = kernels.rotate_x(y, z, M, N, -rx)
+    return x, y, z, L, M, N
+
+
+def _rot_global(x, y, z, L, M, N, rx, ry, rz):
+    from optiland_tpu.ops import kernels
+
+    y, z, M, N = kernels.rotate_x(y, z, M, N, rx)
+    x, z, L, N = kernels.rotate_y(x, z, L, N, ry)
+    x, y, L, M = kernels.rotate_z(x, y, L, M, rz)
+    return x, y, z, L, M, N
+
+
+def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
+               newton_iters, formula=None, getm=None, nm=0):
     """One surface step on a ray tile (pure jnp; runs inside the kernels).
 
     ``getp(s, col)`` / ``getc(s, ci)`` return scalar surface parameters —
     SMEM reads in the forward kernel, traced values in the adjoint.
+    ``state[-1]`` is the per-ray wavelength array in polychromatic mode
+    (``formula``/``getm`` set), else None.
     """
-    x, y, z, L, M, N, inten, opd, n_pre = state
+    x, y, z, L, M, N, inten, opd, n_pre, w = state
     radius = getp(s, P_RADIUS)
     conic = getp(s, P_CONIC)
     pos = getp(s, P_POS)
-    n_post = getp(s, P_NPOST)
     ap_max = getp(s, P_APMAX)
-    k_pre = getp(s, P_KPRE)
+    p1 = getp(s, P_G1)
+    p2 = getp(s, P_G2)
+    cvec = (
+        jnp.stack([getc(s, ci) for ci in range(nc)])
+        if nc else jnp.zeros((0,), x.dtype)
+    )
 
+    # ---- localize (translate + optional static tilt rotations) ----
+    x = x - getp(s, P_DX)
+    y = y - getp(s, P_DY)
     zl = z - pos
+    if tilted:
+        rx, ry, rz = getp(s, P_RX), getp(s, P_RY), getp(s, P_RZ)
+        x, y, zl, L, M, N = _rot_local(x, y, zl, L, M, N, rx, ry, rz)
 
-    # ---- intersect (static dispatch) ----
+    # ---- intersect: closed form for plane/conic, AD-Newton otherwise ----
     if code == geom.PLANE:
-        N_safe = jnp.where(jnp.abs(N) > 1e-14, N, 1e-14)
-        t = -zl / N_safe
+        t = geom._distance_plane(x, y, zl, L, M, N)
+    elif code == geom.STANDARD:
+        t = geom._distance_standard(radius, conic, x, y, zl, L, M, N)
     else:
-        k = conic
-        a = k * N * N + L * L + M * M + N * N
-        b = 2 * k * N * zl + 2 * L * x + 2 * M * y - 2 * N * radius + 2 * N * zl
-        c = k * zl * zl - 2 * radius * zl + x * x + y * y + zl * zl
-        d = b * b - 4 * a * c
-        sq = jnp.sqrt(jnp.maximum(d, 0.0))
-        sq = jnp.where(d < 0, jnp.nan, sq)
-        a_safe = jnp.where(a == 0, 1.0, a)
-        t1 = (-b + sq) / (2 * a_safe)
-        t2 = (-b - sq) / (2 * a_safe)
-        z1 = zl + t1 * N
-        z2 = zl + t2 * N
-        t = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
-        t = jnp.where(a == 0, -c / b, t)
-        if code == geom.EVEN_ASPHERE:
-            def sag(xx, yy):
-                r2 = xx * xx + yy * yy
-                zc = r2 / (
-                    radius * (1 + jnp.sqrt(1 - (1 + k) * r2 / (radius * radius)))
-                )
-                acc = jnp.zeros_like(xx)
-                for ci in range(nc - 1, -1, -1):
-                    acc = acc * r2 + getc(s, ci)
-                return zc + acc * r2
+        t0 = geom._distance_standard(radius, conic, x, y, zl, L, M, N)
+        t0 = jnp.where(
+            jnp.isfinite(t0), t0, geom._distance_plane(x, y, zl, L, M, N)
+        )
+        sag_fn = geom._SAG_FNS[code]
 
-            for _ in range(newton_iters):
-                xs, ys, zs = x + t * L, y + t * M, zl + t * N
-                f_val = zs - sag(xs, ys)
-                eps = 1e-4
-                f_plus = (zl + (t + eps) * N) - sag(
-                    x + (t + eps) * L, y + (t + eps) * M
-                )
-                dfdt = (f_plus - f_val) / eps
-                dfdt = jnp.where(jnp.abs(dfdt) > 1e-14, dfdt, 1e-14)
-                t = t - f_val / dfdt
+        def f_of_t(t):
+            return (zl + t * N) - sag_fn(
+                radius, conic, cvec, p1, p2, x + t * L, y + t * M, aux=aux
+            )
+
+        t = t0
+        for _ in range(newton_iters):
+            f_val, dfdt = jax.jvp(f_of_t, (t,), (jnp.ones_like(t),))
+            dfdt = jnp.where(jnp.abs(dfdt) > 1e-14, dfdt, 1e-14)
+            t = t - f_val / dfdt
 
     # ---- propagate + absorption + OPD + clip ----
     x = x + t * L
     y = y + t * M
     zl = zl + t * N
-    inten = inten * jnp.exp(-4 * np.pi * k_pre / wavelength_um * t * 1e3)
+    if formula is None:
+        k_pre = getp(s, P_KPRE)
+        wl_um = getp(0, P_KPRE)  # row 0 stores the trace wavelength (k0 = 0)
+        inten = inten * jnp.exp(-4 * np.pi * k_pre * t * 1e3)
     opd = opd + jnp.abs(t * n_pre)
     inten = jnp.where(x * x + y * y > ap_max * ap_max, 0.0, inten)
 
-    # ---- normal ----
-    if code == geom.PLANE:
-        nx = jnp.zeros_like(x)
-        ny = jnp.zeros_like(x)
-        nz = -jnp.ones_like(x)
-    else:
-        r2 = x * x + y * y
-        denom = radius * jnp.sqrt(1 - (1 + conic) * r2 / (radius * radius))
-        dfdx = x / denom
-        dfdy = y / denom
-        if code == geom.EVEN_ASPHERE:
-            dacc = jnp.zeros_like(x)
-            for ci in range(nc - 1, -1, -1):
-                dacc = dacc * r2 + getc(s, ci) * (ci + 1)
-            dfdx = dfdx + 2 * x * dacc
-            dfdy = dfdy + 2 * y * dacc
-        mag = jnp.sqrt(dfdx * dfdx + dfdy * dfdy + 1)
-        nx = dfdx / mag
-        ny = dfdy / mag
-        nz = -1.0 / mag
+    # ---- normal (shared geometry code: AD of the sag) ----
+    nx, ny, nz = geom.surface_normal_static(
+        code, radius, conic, cvec, x, y, p1=p1, p2=p2, aux=aux
+    )
 
     # ---- interact ----
     dot = L * nx + M * ny + N * nz
@@ -142,28 +167,79 @@ def _step_tile(s, code, reflective, getp, getc, nc, state, newton_iters,
         N = N - 2 * adot * nz
         n_next = n_pre
     else:
+        if formula is not None:
+            mvec = jnp.stack([getm(s, i) for i in range(nm)])
+            n_post = dispersion.n_formula_static(formula, mvec, w)
+        else:
+            n_post = getp(s, P_NPOST) * jnp.ones_like(n_pre)
         u = n_pre / n_post
         root = jnp.sqrt(1 - u * u * (1 - adot * adot))
         L = u * L + nx * (root - u * adot)
         M = u * M + ny * (root - u * adot)
         N = u * N + nz * (root - u * adot)
-        n_next = n_post * jnp.ones_like(n_pre)
+        n_next = n_post
 
-    return (x, y, zl + pos, L, M, N, inten, opd, n_next)
+    # ---- globalize ----
+    if tilted:
+        x, y, zl, L, M, N = _rot_global(x, y, zl, L, M, N, rx, ry, rz)
+    x = x + getp(s, P_DX)
+    y = y + getp(s, P_DY)
+
+    return (x, y, zl + pos, L, M, N, inten, opd, n_next, w)
 
 
-def _chain(codes, reflective, newton_iters, wavelength_um, nc,
-           getp, getc, x, y, z, L, M, N, i, opd):
-    """Run the full surface chain on a tile; returns the 8 output arrays."""
+def _chain(spec, getp, getc, getm, x, y, z, L, M, N, i, opd, w=None):
+    """Run the full surface chain on a tile; returns the 8 output arrays.
+
+    ``spec`` is the static StructSpec; ``w`` is the per-ray wavelength array
+    in polychromatic mode (else None and the mono param table is used).
+    """
+    codes, refl, tilted, auxes, nc, newton_iters, formulas, nm = spec
     S = len(codes)
-    n0 = getp(0, P_NPOST)
-    state = (x, y, z, L, M, N, i, opd, n0 * jnp.ones_like(x))
+    if w is None:
+        n0 = getp(0, P_NPOST) * jnp.ones_like(x)
+    else:
+        if refl[0]:
+            raise ValueError("object surface cannot be reflective")
+        mvec0 = jnp.stack([getm(0, i_) for i_ in range(nm)])
+        n0 = dispersion.n_formula_static(formulas[0], mvec0, w)
+    state = (x, y, z, L, M, N, i, opd, n0, w)
     for s in range(1, S):
         state = _step_tile(
-            s, codes[s], reflective[s], getp, getc, nc, state,
-            newton_iters, wavelength_um,
+            s, codes[s], refl[s], tilted[s], auxes[s], getp, getc, nc,
+            state, newton_iters,
+            formula=formulas[s] if w is not None else None,
+            getm=getm, nm=nm,
         )
     return state[:8]
+
+
+def _spec_of(system, newton_iters, poly):
+    cfg = system.cfg
+    tilted = tuple(bool(t) for t in _tilt_mask(system))
+    auxes = tuple(cfg.geom_aux) if cfg.geom_aux is not None else (
+        (None,) * cfg.num_surfaces
+    )
+    nc = int(system.stack.coeffs.shape[1])
+    formulas = tuple(cfg.mat_formulas) if poly else (None,) * cfg.num_surfaces
+    nm = int(system.stack.mat_coeffs.shape[1]) if poly else 0
+    return (
+        tuple(cfg.geom_codes), tuple(cfg.reflective), tilted, auxes, nc,
+        newton_iters, formulas, nm,
+    )
+
+
+def _tilt_mask(system):
+    st = system.stack
+    try:
+        r = np.asarray(jnp.stack([st.rx, st.ry, st.rz]))
+    except jax.errors.TracerArrayConversionError:
+        # tilts are traced (e.g. a tilt variable under grad): keep the
+        # rotation code in-kernel for every surface
+        return [True] * st.rx.shape[0]
+    if not np.isfinite(r).all():
+        return [True] * st.rx.shape[0]
+    return list((np.abs(r) > 0).any(axis=0))
 
 
 # ---------------------------------------------------------------------------
@@ -171,67 +247,70 @@ def _chain(codes, reflective, newton_iters, wavelength_um, nc,
 # ---------------------------------------------------------------------------
 
 
-def _make_fwd_kernel(codes, reflective, newton_iters, wavelength_um, nc):
-    def kernel(params_ref, coeffs_ref, x_ref, y_ref, z_ref, L_ref, M_ref,
-               N_ref, i_ref, opd_ref,
-               xo_ref, yo_ref, zo_ref, Lo_ref, Mo_ref, No_ref, io_ref,
-               opdo_ref):
+def _make_fwd_kernel(spec, poly):
+    n_ray = 9 if poly else 8
+
+    def kernel(*refs):
+        params_ref, coeffs_ref, mats_ref = refs[0], refs[1], refs[2]
+        in_refs = refs[3 : 3 + n_ray]
+        out_refs = refs[3 + n_ray :]
         getp = lambda s, col: params_ref[s, col]
         getc = lambda s, ci: coeffs_ref[s, ci]
-        out = _chain(
-            codes, reflective, newton_iters, wavelength_um, nc, getp, getc,
-            x_ref[:], y_ref[:], z_ref[:], L_ref[:], M_ref[:], N_ref[:],
-            i_ref[:], opd_ref[:],
-        )
-        for ref, val in zip(
-            (xo_ref, yo_ref, zo_ref, Lo_ref, Mo_ref, No_ref, io_ref, opdo_ref),
-            out,
-        ):
+        getm = lambda s, mi: mats_ref[s, mi]
+        ins = [r[:] for r in in_refs]
+        w = ins[8] if poly else None
+        out = _chain(spec, getp, getc, getm, *ins[:8], w=w)
+        for ref, val in zip(out_refs, out):
             ref[:] = val
 
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("codes", "reflective", "newton_iters", "wavelength_um"),
-)
-def _pallas_fwd(params, coeffs, x, y, z, L, M, N, i, opd,
-                codes, reflective, newton_iters, wavelength_um):
-    R = x.shape[0]
-    tile = TILE_ROWS_FWD * LANE
+def _pad_ray_arrays(arrays, tile_rows, ones_idx=(5,)):
+    """Pad flat ray arrays to a tile multiple and fold to (rows, LANE).
+
+    Padded lanes get benign rays (N=1, wavelength=1 um via ``ones_idx``, all
+    else 0 — including every cotangent, so VJP linearity guarantees padded
+    lanes contribute exactly zero to the accumulated parameter gradients).
+    """
+    R = arrays[0].shape[0]
+    tile = tile_rows * LANE
     pad = (-R) % tile
-    dtype = x.dtype
+    out = []
+    for k, a in enumerate(arrays):
+        fill = 1.0 if k in ones_idx else 0.0
+        out.append(
+            jnp.pad(a, (0, pad), constant_values=fill).reshape(-1, LANE)
+        )
+    return out, R
 
-    def prep(a, fill=0.0):
-        return jnp.pad(a, (0, pad), constant_values=fill).reshape(-1, LANE)
 
-    # Padded lanes must be benign rays (N=1) so they cannot produce NaNs.
-    arrs = [
-        prep(a, 1.0 if k == 5 else 0.0)
-        for k, a in enumerate((x, y, z, L, M, N, i, opd))
-    ]
+@functools.partial(jax.jit, static_argnames=("spec", "poly"))
+def _pallas_fwd(params, coeffs, mats, ray_arrays, spec, poly):
+    arrs, R = _pad_ray_arrays(
+        ray_arrays, TILE_ROWS_FWD, ones_idx=(5, 8) if poly else (5,)
+    )
     rows = arrs[0].shape[0]
     grid = (rows // TILE_ROWS_FWD,)
+    dtype = arrs[0].dtype
 
     ray_spec = pl.BlockSpec(
         (TILE_ROWS_FWD, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
     )
     out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(8)]
-    kernel = _make_fwd_kernel(
-        codes, reflective, newton_iters, wavelength_um, coeffs.shape[1]
-    )
+    kernel = _make_fwd_kernel(spec, poly)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params table
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # asphere coeffs
-        ] + [ray_spec] * 8,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # geometry coeffs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dispersion coeffs
+        ] + [ray_spec] * len(arrs),
         out_specs=[ray_spec] * 8,
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
-    )(params, coeffs, *arrs)
+    )(params, coeffs, mats, *arrs)
     return tuple(o.reshape(-1)[:R] for o in outs)
 
 
@@ -240,61 +319,73 @@ def _pallas_fwd(params, coeffs, x, y, z, L, M, N, i, opd,
 # ---------------------------------------------------------------------------
 
 
-def _make_bwd_kernel(codes, reflective, newton_iters, wavelength_um, nc):
-    S = len(codes)
+def _dp_rows(spec, poly):
+    """VMEM rows for the accumulated scalar-parameter gradient block."""
+    S = len(spec[0])
+    nc, nm = spec[4], spec[7]
+    total = S * (NUM_P + nc + (nm if poly else 0))
+    rows = -(-total // LANE)
+    return max(8, -(-rows // 8) * 8)
+
+
+def _make_bwd_kernel(spec, poly, tile_rows):
+    S = len(spec[0])
+    nc, nm = spec[4], spec[7]
     n_param = S * NUM_P
     n_coeff = S * nc
+    n_mat = S * nm if poly else 0
+    n_ray = 9 if poly else 8
+    rows_dp = _dp_rows(spec, poly)
 
-    def kernel(params_ref, coeffs_ref,
-               x_ref, y_ref, z_ref, L_ref, M_ref, N_ref, i_ref, opd_ref,
-               gx_ref, gy_ref, gz_ref, gL_ref, gM_ref, gN_ref, gi_ref,
-               gopd_ref,
-               dx_ref, dy_ref, dz_ref, dL_ref, dM_ref, dN_ref, di_ref,
-               dopd_ref, dp_ref):
+    def kernel(*refs):
+        params_ref, coeffs_ref, mats_ref = refs[0], refs[1], refs[2]
+        in_refs = refs[3 : 3 + n_ray]
+        cot_refs = refs[3 + n_ray : 3 + n_ray + 8]
+        out_refs = refs[3 + n_ray + 8 : 3 + n_ray + 16]
+        dp_ref = refs[3 + n_ray + 16]
+
         pvals = tuple(
             params_ref[s, c] for s in range(S) for c in range(NUM_P)
         )
         cvals = tuple(
             coeffs_ref[s, ci] for s in range(S) for ci in range(nc)
         )
+        mvals = tuple(
+            mats_ref[s, mi] for s in range(S) for mi in range(nm)
+        ) if poly else ()
 
-        def fwd_vals(pv, cv, x, y, z, L, M, N, i, opd):
+        ins = [r[:] for r in in_refs]
+        w_tile = ins[8] if poly else None
+
+        def fwd_vals(pv, cv, mv, x, y, z, L, M, N, i, opd):
             getp = lambda s, col: pv[s * NUM_P + col]
             getc = lambda s, ci: cv[s * nc + ci]
+            getm = lambda s, mi: mv[s * nm + mi]
             return _chain(
-                codes, reflective, newton_iters, wavelength_um, nc,
-                getp, getc, x, y, z, L, M, N, i, opd,
+                spec, getp, getc, getm, x, y, z, L, M, N, i, opd, w=w_tile
             )
 
-        _, vjp = jax.vjp(
-            fwd_vals, pvals, cvals,
-            x_ref[:], y_ref[:], z_ref[:], L_ref[:], M_ref[:], N_ref[:],
-            i_ref[:], opd_ref[:],
-        )
-        cot = (
-            gx_ref[:], gy_ref[:], gz_ref[:], gL_ref[:], gM_ref[:],
-            gN_ref[:], gi_ref[:], gopd_ref[:],
-        )
-        dpv, dcv, dx, dy, dz, dL, dM, dN, di, dopd = vjp(cot)
+        _, vjp = jax.vjp(fwd_vals, pvals, cvals, mvals, *ins[:8])
+        cot = tuple(r[:] for r in cot_refs)
+        dpv, dcv, dmv, *dray = vjp(cot)
 
-        for ref, val in zip(
-            (dx_ref, dy_ref, dz_ref, dL_ref, dM_ref, dN_ref, di_ref, dopd_ref),
-            (dx, dy, dz, dL, dM, dN, di, dopd),
-        ):
+        for ref, val in zip(out_refs, dray):
             ref[:] = val
 
         # Accumulate scalar parameter gradients into a single shared block
         # (grid iterations run sequentially on a TPU core). Scatter is not
         # lowerable on TPU, so place each scalar with a masked select.
         g = pl.program_id(0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_dp, LANE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows_dp, LANE), 1)
         lin = rows * LANE + cols
-        acc = jnp.zeros((8, LANE), dtype=dx.dtype)
+        acc = jnp.zeros((rows_dp, LANE), dtype=dray[0].dtype)
         for idx, v in enumerate(dpv):
             acc = jnp.where(lin == idx, v, acc)
         for jdx, v in enumerate(dcv):
             acc = jnp.where(lin == n_param + jdx, v, acc)
+        for kdx, v in enumerate(dmv):
+            acc = jnp.where(lin == n_param + n_coeff + kdx, v, acc)
 
         @pl.when(g == 0)
         def _():
@@ -307,55 +398,49 @@ def _make_bwd_kernel(codes, reflective, newton_iters, wavelength_um, nc):
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("codes", "reflective", "newton_iters", "wavelength_um"),
-)
-def _pallas_bwd(params, coeffs, inputs, cotangents,
-                codes, reflective, newton_iters, wavelength_um):
-    S = len(codes)
-    nc = coeffs.shape[1]
-    if S * NUM_P + S * nc > 8 * LANE:
-        raise ValueError("Parameter gradient block overflow; reduce coeffs.")
-    R = inputs[0].shape[0]
-    tile = TILE_ROWS_BWD * LANE
-    pad = (-R) % tile
-    dtype = inputs[0].dtype
-
-    def prep(a, fill=0.0):
-        return jnp.pad(a, (0, pad), constant_values=fill).reshape(-1, LANE)
-
-    # Benign padded rays (N=1) with zero cotangents: contribute nothing to
-    # the accumulated parameter gradients.
-    arrs = [
-        prep(a, 1.0 if k == 5 else 0.0) for k, a in enumerate(inputs)
-    ] + [prep(a) for a in cotangents]
+@functools.partial(jax.jit, static_argnames=("spec", "poly"))
+def _pallas_bwd(params, coeffs, mats, inputs, cotangents, spec, poly):
+    S = len(spec[0])
+    nc, nm = spec[4], spec[7]
+    rows_dp = _dp_rows(spec, poly)
+    arrs, R = _pad_ray_arrays(
+        list(inputs) + list(cotangents), TILE_ROWS_BWD,
+        ones_idx=(5, 8) if poly else (5,),
+    )
     rows = arrs[0].shape[0]
     grid = (rows // TILE_ROWS_BWD,)
+    dtype = arrs[0].dtype
 
     ray_spec = pl.BlockSpec(
         (TILE_ROWS_BWD, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
     )
-    dp_spec = pl.BlockSpec((8, LANE), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    dp_spec = pl.BlockSpec(
+        (rows_dp, LANE), lambda g: (0, 0), memory_space=pltpu.VMEM
+    )
     out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(8)]
-    out_shape.append(jax.ShapeDtypeStruct((8, LANE), dtype))
-    kernel = _make_bwd_kernel(codes, reflective, newton_iters, wavelength_um, nc)
+    out_shape.append(jax.ShapeDtypeStruct((rows_dp, LANE), dtype))
+    kernel = _make_bwd_kernel(spec, poly, TILE_ROWS_BWD)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ] + [ray_spec] * 16,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [ray_spec] * len(arrs),
         out_specs=[ray_spec] * 8 + [dp_spec],
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
-    )(params, coeffs, *arrs)
+    )(params, coeffs, mats, *arrs)
     ray_grads = tuple(o.reshape(-1)[:R] for o in outs[:8])
     flat = outs[8].reshape(-1)
     dparams = flat[: S * NUM_P].reshape(S, NUM_P)
-    dcoeffs = flat[S * NUM_P : S * NUM_P + S * nc].reshape(S, nc)
-    return ray_grads, dparams, dcoeffs
+    dcoeffs = flat[S * NUM_P : S * (NUM_P + nc)].reshape(S, nc)
+    dmats = (
+        flat[S * (NUM_P + nc) : S * (NUM_P + nc + nm)].reshape(S, nm)
+        if poly else jnp.zeros_like(mats)
+    )
+    return ray_grads, dparams, dcoeffs, dmats
 
 
 # ---------------------------------------------------------------------------
@@ -363,19 +448,28 @@ def _pallas_bwd(params, coeffs, inputs, cotangents,
 # ---------------------------------------------------------------------------
 
 
-def pallas_supported(system) -> bool:
+def pallas_supported(system, poly: bool = False) -> bool:
     """True when the fast kernels cover this system's structure."""
     cfg = system.cfg
-    if cfg.has_tilts:
-        return False
     if cfg.interactions is not None and any(
         i is not None for i in cfg.interactions
     ):
         return False
     if cfg.apertures is not None and any(a is not None for a in cfg.apertures):
         return False
-    ok_codes = {geom.PLANE, geom.STANDARD, geom.EVEN_ASPHERE}
-    return all(c in ok_codes for c in cfg.geom_codes)
+    if cfg.coatings is not None and any(c is not None for c in cfg.coatings):
+        return False
+    if cfg.bsdfs is not None and any(b is not None for b in cfg.bsdfs):
+        return False
+    if cfg.polarized:
+        return False
+    if poly:
+        if cfg.has_absorption:
+            return False
+        bad_formula = {dispersion.TABULATED_N}
+        if any(f in bad_formula for f in cfg.mat_formulas):
+            return False
+    return all(c in OK_CODES for c in cfg.geom_codes)
 
 
 def build_param_table(system, wavelength):
@@ -386,15 +480,24 @@ def build_param_table(system, wavelength):
     S = cfg.num_surfaces
     n = n_all(stack, cfg, wavelength)
     pos = positions(stack)
-    # k of the medium *before* each surface (material_post of s-1)
-    k_rows = [jnp.zeros(())]
+    # k of the medium *before* each surface (material_post of s-1), folded
+    # with 1/wavelength so the kernel's Beer-Lambert term needs no divide.
+    # Row 0 of the k column stores the wavelength itself (object row never
+    # applies absorption because k_pre[0] would be the pre-object medium).
+    wl = jnp.asarray(wavelength, stack.radius.dtype)
+    k_rows = [jnp.zeros((), stack.radius.dtype)]
     for s2 in range(1, S):
         k_rows.append(
-            jnp.ravel(k_of(stack.ktab[s2 - 1], jnp.asarray(wavelength)))[0]
+            jnp.ravel(k_of(stack.ktab[s2 - 1], wl))[0] / wl
         )
     k_pre = jnp.stack(k_rows)
     params = jnp.stack(
-        [stack.radius, stack.conic, pos, n, stack.ap_max, k_pre], axis=1
+        [
+            stack.radius, stack.conic, pos, n, stack.ap_max, k_pre,
+            stack.dx, stack.dy, stack.rx, stack.ry, stack.rz,
+            stack.geo_p1, stack.geo_p2,
+        ],
+        axis=1,
     )
     # reflective surfaces keep the incident medium
     refl = jnp.asarray(cfg.reflective)
@@ -403,49 +506,97 @@ def build_param_table(system, wavelength):
     return params
 
 
-def trace_fast(system, rays, wavelength, newton_iters: int = 10):
-    """Fused Pallas trace (final state only; f32 recommended).
+def _poly_param_table(system):
+    """Param table for the polychromatic kernel (index column unused)."""
+    from optiland_tpu.core.system import positions
 
-    Equivalent to optiland_tpu.core.trace.trace(..., record=False) for
-    supported systems; jax.grad runs the fused backward kernel.
-    """
-    cfg = system.cfg
-    codes = tuple(cfg.geom_codes)
-    refl = tuple(cfg.reflective)
+    stack = system.stack
+    pos = positions(stack)
+    zero = jnp.zeros_like(stack.radius)
+    return jnp.stack(
+        [
+            stack.radius, stack.conic, pos, zero, stack.ap_max, zero,
+            stack.dx, stack.dy, stack.rx, stack.ry, stack.rz,
+            stack.geo_p1, stack.geo_p2,
+        ],
+        axis=1,
+    )
+
+
+def _run_fast(system, rays, params, poly, newton_iters):
+    from optiland_tpu.core.rays import RealRays
+
+    spec = _spec_of(system, newton_iters, poly)
+    dt = rays.x.dtype
+    S = system.cfg.num_surfaces
+    # zero-width blocks are not lowerable; keep >=1 (kernel reads only nc/nm)
+    coeffs = system.stack.coeffs.astype(dt)
+    if coeffs.shape[1] == 0:
+        coeffs = jnp.zeros((S, 1), dt)
+    mats = system.stack.mat_coeffs.astype(dt) if poly else jnp.zeros(
+        (S, 1), dt
+    )
+    if poly and mats.shape[1] == 0:
+        mats = jnp.zeros((S, 1), dt)
+    params = params.astype(dt)
 
     @jax.custom_vjp
-    def _traced(params, coeffs, x, y, z, L, M, N, i, opd):
-        return _pallas_fwd(
-            params, coeffs, x, y, z, L, M, N, i, opd,
-            codes=codes, reflective=refl,
-            newton_iters=newton_iters, wavelength_um=float(wavelength),
-        )
+    def _traced(params, coeffs, mats, *ray_in):
+        return _pallas_fwd(params, coeffs, mats, ray_in, spec=spec, poly=poly)
 
-    def _fwd(params, coeffs, x, y, z, L, M, N, i, opd):
-        out = _traced(params, coeffs, x, y, z, L, M, N, i, opd)
-        return out, (params, coeffs, x, y, z, L, M, N, i, opd)
+    def _fwd(params, coeffs, mats, *ray_in):
+        out = _traced(params, coeffs, mats, *ray_in)
+        return out, (params, coeffs, mats, ray_in)
 
     def _bwd(res, g):
-        params, coeffs, *inputs = res
-        ray_grads, dparams, dcoeffs = _pallas_bwd(
-            params, coeffs, tuple(inputs), tuple(g),
-            codes=codes, reflective=refl,
-            newton_iters=newton_iters, wavelength_um=float(wavelength),
+        params, coeffs, mats, ray_in = res
+        ray_grads, dparams, dcoeffs, dmats = _pallas_bwd(
+            params, coeffs, mats, tuple(ray_in), tuple(g),
+            spec=spec, poly=poly,
         )
-        return (dparams, dcoeffs) + ray_grads
+        # kernel grads cover only the true nc/nm columns; pad to block width
+        if dcoeffs.shape != coeffs.shape:
+            dcoeffs = jnp.zeros_like(coeffs).at[
+                :, : dcoeffs.shape[1]
+            ].set(dcoeffs)
+        if dmats.shape != mats.shape:
+            dmats = jnp.zeros_like(mats).at[:, : dmats.shape[1]].set(dmats)
+        if poly:
+            # wavelength cotangent: not propagated (w is sampling data)
+            ray_grads = ray_grads + (jnp.zeros_like(ray_in[8]),)
+        return (dparams, dcoeffs, dmats) + ray_grads
 
     _traced.defvjp(_fwd, _bwd)
 
-    # params/coeffs are plain differentiable functions of the stack; outer AD
-    # composes their VJP with the kernel's custom VJP automatically.
-    dt = rays.x.dtype
-    params = build_param_table(system, wavelength).astype(dt)
-    coeffs = system.stack.coeffs.astype(dt)
-    out = _traced(
-        params, coeffs, rays.x, rays.y, rays.z, rays.L, rays.M, rays.N,
-        rays.i, rays.opd,
-    )
-    from optiland_tpu.core.rays import RealRays
-
+    ray_in = (rays.x, rays.y, rays.z, rays.L, rays.M, rays.N, rays.i, rays.opd)
+    if poly:
+        ray_in = ray_in + (rays.w,)
+    out = _traced(params, coeffs, mats, *ray_in)
     x, y, z, L, M, N, i, opd = out
     return RealRays(x=x, y=y, z=z, L=L, M=M, N=N, i=i, w=rays.w, opd=opd)
+
+
+def trace_fast(system, rays, wavelength, newton_iters: int = 10):
+    """Fused Pallas trace, monochromatic (final state only; f32 recommended).
+
+    Equivalent to optiland_tpu.core.trace.trace(..., record=False) for
+    supported systems; jax.grad runs the fused backward kernel. params/
+    coeffs are plain differentiable functions of the stack, so outer AD
+    composes their VJP with the kernel's custom VJP automatically.
+    """
+    params = build_param_table(system, wavelength)
+    return _run_fast(system, rays, params, poly=False,
+                     newton_iters=newton_iters)
+
+
+def trace_fast_poly(system, rays, newton_iters: int = 10):
+    """Fused Pallas trace with per-ray wavelengths (rays.w, um).
+
+    Each surface's refractive index is evaluated in-kernel from its static
+    dispersion-formula code and SMEM coefficient row — one kernel launch
+    for an arbitrary wavelength mix (reference analog: per-ray n lookups in
+    rays/real_rays.py:163-187 through the material objects).
+    """
+    params = _poly_param_table(system)
+    return _run_fast(system, rays, params, poly=True,
+                     newton_iters=newton_iters)
