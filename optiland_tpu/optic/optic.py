@@ -817,6 +817,27 @@ class Optic:
     def paraxial(self) -> ParaxialView:
         return ParaxialView(self)
 
+    def draw(self, **kwargs):
+        """2D cross-section with traced rays
+        (reference: Optic.draw, optic/optic.py:566)."""
+        from optiland_tpu.visualization import draw_system
+
+        return draw_system(self, **kwargs)
+
+    def draw3D(self, **kwargs):
+        """3D layout with traced ray bundles
+        (reference: Optic.draw3D, optic/optic.py:612)."""
+        from optiland_tpu.visualization import OpticViewer3D
+
+        return OpticViewer3D(self).view(**kwargs)
+
+    def info(self):
+        """Print the prescription tables
+        (reference: Optic.info, optic/optic.py:660-690)."""
+        from optiland_tpu.visualization import LensInfoViewer
+
+        return LensInfoViewer(self).view()
+
     def trace(
         self,
         Hx=0.0,
