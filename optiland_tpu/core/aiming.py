@@ -45,7 +45,7 @@ def trace_to_stop_local(system: System, x, y, z, L, M, N, wavelength):
     # Localize to the stop frame and intersect (no interaction needed)
     x = x - stack.dx[stop]
     y = y - stack.dy[stop]
-    z = z - pos[stop]
+    z = z - (pos[stop] + stack.dz[stop])
     if cfg.has_tilts:
         x, y, L, M = kernels.rotate_z(x, y, L, M, -stack.rz[stop])
         x, z, L, N = kernels.rotate_y(x, z, L, N, -stack.ry[stop])

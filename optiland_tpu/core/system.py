@@ -37,7 +37,9 @@ class SurfaceStack:
         coeffs: (S, NC) geometry coefficient vectors (zero-padded).
         thickness: (S,) axial distance from surface s to s+1; row 0 is the
             object distance (may be inf), last row is 0.
-        dx, dy: (S,) decenters.
+        dx, dy, dz: (S,) decenters (dz adds to the cumulative-thickness
+            vertex position — the flattened form of the reference's chained
+            coordinate systems, reference: coordinate_system.py:28-107).
         rx, ry, rz: (S,) Euler tilt angles (radians).
         geom_code: (S,) int32 geometry family codes.
         is_reflective: (S,) bool mirror flags.
@@ -56,6 +58,7 @@ class SurfaceStack:
     thickness: jnp.ndarray
     dx: jnp.ndarray
     dy: jnp.ndarray
+    dz: jnp.ndarray
     rx: jnp.ndarray
     ry: jnp.ndarray
     rz: jnp.ndarray

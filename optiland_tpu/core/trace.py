@@ -42,10 +42,11 @@ def _surface_step(stack, cfg, s, pos_s, state):
     code = cfg.geom_codes[s]
     aux = cfg.geom_aux[s] if cfg.geom_aux is not None else None
 
-    # Localize (reference: coordinate_system.py:73-89)
+    # Localize (reference: coordinate_system.py:73-89; dz is the flattened
+    # z-decenter of a chained CS on top of the cumulative-thickness vertex)
     x = x - stack.dx[s]
     y = y - stack.dy[s]
-    z = z - pos_s
+    z = z - (pos_s + stack.dz[s])
     if cfg.has_tilts:
         x, y, L, M = kernels.rotate_z(x, y, L, M, -stack.rz[s])
         x, z, L, N = kernels.rotate_y(x, z, L, N, -stack.ry[s])
@@ -250,7 +251,7 @@ def _surface_step(stack, cfg, s, pos_s, state):
         x, y, L, M = kernels.rotate_z(x, y, L, M, stack.rz[s])
     x = x + stack.dx[s]
     y = y + stack.dy[s]
-    z = z + pos_s
+    z = z + pos_s + stack.dz[s]
 
     return (x, y, z, L, M, N, inten, opd, w, n_next, p, key)
 

@@ -11,6 +11,7 @@ import json
 
 import numpy as np
 
+from optiland_tpu.coordinate_system import CoordinateSystem
 from optiland_tpu.materials import BaseMaterial
 from optiland_tpu.optic import Optic
 
@@ -37,6 +38,7 @@ def optic_to_dict(optic: Optic) -> dict:
                 "coefficients": list(map(float, s.coefficients)),
                 "dx": float(s.dx),
                 "dy": float(s.dy),
+                "dz": float(s.dz),
                 "rx": float(s.rx),
                 "ry": float(s.ry),
                 "rz": float(s.rz),
@@ -45,6 +47,10 @@ def optic_to_dict(optic: Optic) -> dict:
                 "geo_p1": float(s.geo_p1),
                 "geo_p2": float(s.geo_p2),
                 "geo_aux": list(s.geo_aux) if s.geo_aux else None,
+                "coordinate_system": (
+                    s.coordinate_system.to_dict()
+                    if s.coordinate_system is not None else None
+                ),
             }
         )
     return {
@@ -118,9 +124,14 @@ def optic_from_dict(data: dict) -> Optic:
             coefficients=sd.get("coefficients", []),
             dx=sd.get("dx", 0.0),
             dy=sd.get("dy", 0.0),
+            dz=sd.get("dz", 0.0),
             rx=sd.get("rx", 0.0),
             ry=sd.get("ry", 0.0),
             rz=sd.get("rz", 0.0),
+            coordinate_system=(
+                CoordinateSystem.from_dict(sd["coordinate_system"])
+                if sd.get("coordinate_system") else None
+            ),
             aperture=sd.get("aperture"),
             comment=sd.get("comment", ""),
             **kwargs,

@@ -493,8 +493,8 @@ def build_param_table(system, wavelength):
     k_pre = jnp.stack(k_rows)
     params = jnp.stack(
         [
-            stack.radius, stack.conic, pos, n, stack.ap_max, k_pre,
-            stack.dx, stack.dy, stack.rx, stack.ry, stack.rz,
+            stack.radius, stack.conic, pos + stack.dz, n, stack.ap_max,
+            k_pre, stack.dx, stack.dy, stack.rx, stack.ry, stack.rz,
             stack.geo_p1, stack.geo_p2,
         ],
         axis=1,
@@ -515,8 +515,8 @@ def _poly_param_table(system):
     zero = jnp.zeros_like(stack.radius)
     return jnp.stack(
         [
-            stack.radius, stack.conic, pos, zero, stack.ap_max, zero,
-            stack.dx, stack.dy, stack.rx, stack.ry, stack.rz,
+            stack.radius, stack.conic, pos + stack.dz, zero, stack.ap_max,
+            zero, stack.dx, stack.dy, stack.rx, stack.ry, stack.rz,
             stack.geo_p1, stack.geo_p2,
         ],
         axis=1,

@@ -57,9 +57,13 @@ class SurfaceDef:
     coefficients: tuple = ()
     dx: float = 0.0
     dy: float = 0.0
+    dz: float = 0.0  # z-decenter on top of the cumulative-thickness vertex
     rx: float = 0.0
     ry: float = 0.0
     rz: float = 0.0
+    # chained reference frame; flattened into dx/dy/dz + rx/ry/rz at compile
+    # (reference: coordinate_system.py:28-107 recursive localize/globalize)
+    coordinate_system: object = None
     aperture: float | None = None  # physical semi-diameter via diameter value
     comment: str = ""
     # extended geometry parameters
@@ -94,9 +98,11 @@ class SurfaceGroup:
         coefficients=(),
         dx: float = 0.0,
         dy: float = 0.0,
+        dz: float = 0.0,
         rx: float = 0.0,
         ry: float = 0.0,
         rz: float = 0.0,
+        coordinate_system=None,
         aperture: float | None = None,
         comment: str = "",
         **kwargs,
@@ -207,9 +213,11 @@ class SurfaceGroup:
             coefficients=tuple(coeff_arr) if coeff_arr.size else (),
             dx=dx,
             dy=dy,
+            dz=dz,
             rx=rx,
             ry=ry,
             rz=rz,
+            coordinate_system=coordinate_system,
             aperture=aperture,
             comment=comment,
             geo_p1=float(geo_p1),
@@ -706,6 +714,29 @@ class Optic:
             if s.coefficients:
                 coeffs[i, : len(s.coefficients)] = s.coefficients
 
+        # Flatten chained coordinate systems into the per-surface flat
+        # (dx, dy, dz, rx, ry, rz) record the kernels consume. An explicit
+        # CS fully defines the surface frame: its effective translation
+        # replaces the nominal cumulative-thickness vertex position
+        # (reference: coordinate_system.py:144-164 get_effective_transform;
+        # surfaces/factories/coordinate_system_factory.py absolute mode).
+        th = np.array([float(s.thickness) for s in surfs])
+        nominal_pos = np.concatenate(
+            [[-th[0]], np.concatenate([[0.0], np.cumsum(th[1:-1])])]
+        )
+        eff = []
+        for i, s in enumerate(surfs):
+            if s.coordinate_system is not None:
+                (tx, ty, tz), (erx, ery, erz) = (
+                    s.coordinate_system.effective_euler_transform()
+                )
+                eff.append((tx, ty, tz - nominal_pos[i], erx, ery, erz))
+            else:
+                eff.append((s.dx, s.dy, s.dz, s.rx, s.ry, s.rz))
+        e_dx, e_dy, e_dz, e_rx, e_ry, e_rz = (
+            [row[k] for row in eff] for k in range(6)
+        )
+
         stack = SurfaceStack(
             radius=jnp.asarray(radius, dt),
             conic=jnp.asarray([float(s.conic) for s in surfs], dt),
@@ -713,11 +744,12 @@ class Optic:
             geo_p1=jnp.asarray([float(s.geo_p1) for s in surfs], dt),
             geo_p2=jnp.asarray([float(s.geo_p2) for s in surfs], dt),
             thickness=jnp.asarray([float(s.thickness) for s in surfs], dt),
-            dx=jnp.asarray([float(s.dx) for s in surfs], dt),
-            dy=jnp.asarray([float(s.dy) for s in surfs], dt),
-            rx=jnp.asarray([float(s.rx) for s in surfs], dt),
-            ry=jnp.asarray([float(s.ry) for s in surfs], dt),
-            rz=jnp.asarray([float(s.rz) for s in surfs], dt),
+            dx=jnp.asarray([float(v) for v in e_dx], dt),
+            dy=jnp.asarray([float(v) for v in e_dy], dt),
+            dz=jnp.asarray([float(v) for v in e_dz], dt),
+            rx=jnp.asarray([float(v) for v in e_rx], dt),
+            ry=jnp.asarray([float(v) for v in e_ry], dt),
+            rz=jnp.asarray([float(v) for v in e_rz], dt),
             ap_max=jnp.asarray(
                 [
                     float(s.aperture) / 2
@@ -738,7 +770,7 @@ class Optic:
 
         # Decenters without tilts still need the translate path; only the
         # rotation work is gated by has_tilts.
-        has_rot = any(s.rx != 0 or s.ry != 0 or s.rz != 0 for s in surfs)
+        has_rot = any(r != 0 for r in (*e_rx, *e_ry, *e_rz))
         has_abs = any(m.has_absorption for m in mats)
 
         # Resolve coatings ("fresnel" shorthand uses the adjacent materials;

@@ -41,7 +41,7 @@ def _surface_profile(optic, idx, semi, num=64):
             aux=cfg.geom_aux[idx] if cfg.geom_aux else None,
         )
     )
-    return y, z_loc + pos[idx]
+    return y, z_loc + pos[idx] + float(stack.dz[idx])
 
 
 def draw_system(

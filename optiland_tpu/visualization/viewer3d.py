@@ -45,7 +45,8 @@ def _sag_grid(optic, idx, semi, n_r=24, n_t=49):
     )
     dx = float(stack.dx[idx])
     dy = float(stack.dy[idx])
-    return X + dx, Y + dy, Z + pos[idx]
+    dz = float(stack.dz[idx])
+    return X + dx, Y + dy, Z + pos[idx] + dz
 
 
 class Surface3D:
