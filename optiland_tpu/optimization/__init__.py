@@ -6,6 +6,7 @@ from optiland_tpu.optimization.optimizers import (
     LeastSquares,
     OptaxOptimizer,
     GlassExpert,
+    OrthogonalDescent,
     OptimizerGeneric,
     SHGO,
     TorchAdamOptimizer,
@@ -34,6 +35,7 @@ __all__ = [
     "OptimizationProblem",
     "GlassExpert",
     "OptimizerGeneric",
+    "OrthogonalDescent",
     "PowerScaler",
     "ReciprocalScaler",
     "SHGO",

@@ -35,6 +35,21 @@ class OptimizerGeneric:
 
     def __init__(self, problem):
         self.problem = problem
+        # pre-optimization variable vectors, for undo()
+        # (reference: optimizer/scipy/base.py:44-45)
+        self._x_history: list = []
+
+    def undo(self):
+        """Restore the variable vector from before the last optimize()
+        (reference: optimizer/scipy/base.py:44-45 '_x' history)."""
+        if self._x_history:
+            self.problem.update_optic(self._x_history.pop())
+
+    def _x0(self):
+        """Initial scaled vector, recorded for undo()."""
+        x0 = self.problem.initial_x()
+        self._x_history.append(np.asarray(x0, float).copy())
+        return x0
 
     def optimize(self, maxiter: int = 1000, tol: float | None = None,
                  disp: bool = False, apply: bool = True, **kwargs):
@@ -46,7 +61,7 @@ class OptimizerGeneric:
             v, g = vg(jnp.asarray(x))
             return float(v), np.asarray(g, dtype=float)
 
-        x0 = self.problem.initial_x()
+        x0 = self._x0()
         res = sciopt.minimize(
             fun, x0, jac=True, method=self.method,
             options={"maxiter": maxiter, "disp": disp}, tol=tol, **kwargs
@@ -69,7 +84,7 @@ class LeastSquares(OptimizerGeneric):
 
         res_fn = self.problem.residuals_fn()
         jac_fn = self.problem.res_jac_fn()
-        x0 = self.problem.initial_x()
+        x0 = self._x0()
         res = sciopt.least_squares(
             lambda x: np.asarray(res_fn(jnp.asarray(x)), dtype=float),
             x0,
@@ -94,7 +109,7 @@ class DualAnnealing(OptimizerGeneric):
         from scipy import optimize as sciopt
 
         merit = self.problem.merit_fn()
-        x0 = self.problem.initial_x()
+        x0 = self._x0()
         if bounds is None:
             bounds = [(x - 10.0, x + 10.0) for x in x0]
         res = sciopt.dual_annealing(
@@ -116,7 +131,7 @@ class DifferentialEvolution(OptimizerGeneric):
         from scipy import optimize as sciopt
 
         merit = self.problem.merit_fn()
-        x0 = self.problem.initial_x()
+        x0 = self._x0()
         if bounds is None:
             bounds = [(x - 10.0, x + 10.0) for x in x0]
         res = sciopt.differential_evolution(
@@ -141,7 +156,7 @@ class BasinHopping(OptimizerGeneric):
             v, g = vg(jnp.asarray(x))
             return float(v), np.asarray(g, dtype=float)
 
-        x0 = self.problem.initial_x()
+        x0 = self._x0()
         res = sciopt.basinhopping(
             fun, x0, niter=niter, seed=seed,
             minimizer_kwargs={"jac": True}, **kwargs
@@ -160,7 +175,7 @@ class SHGO(OptimizerGeneric):
         from scipy import optimize as sciopt
 
         merit = self.problem.merit_fn()
-        x0 = self.problem.initial_x()
+        x0 = self._x0()
         if bounds is None:
             bounds = [(x - 10.0, x + 10.0) for x in x0]
         res = sciopt.shgo(lambda x: float(merit(jnp.asarray(x))), bounds, **kwargs)
@@ -168,6 +183,59 @@ class SHGO(OptimizerGeneric):
             self.problem.update_optic(res.x)
         return OptimizationResult(res.x, res.fun, nit=getattr(res, "nit", None),
                                   success=res.success, message=str(res.message))
+
+
+class OrthogonalDescent(OptimizerGeneric):
+    """Coordinate (orthogonal) descent: sequential 1-D line searches
+    (reference: optimizer/scipy/orthogonal_descent.py:21-130).
+
+    Each cycle Brent-minimizes the jitted merit over one scaled variable at
+    a time, keeping a step only when it improves; converges when the
+    relative merit change over a full cycle drops below ``tol``. Useful
+    when gradients are unreliable (e.g. through discontinuous vignetting).
+    """
+
+    def optimize(self, max_iter: int = 100, tol: float = 1e-4,
+                 apply: bool = True, **kwargs):
+        from scipy.optimize import minimize_scalar
+
+        merit = self.problem.merit_fn()
+        x = np.asarray(self._x0(), float)
+        current = float(merit(jnp.asarray(x)))
+        nit = 0
+        for _cycle in range(max_iter):
+            prev = current
+            for i, var in enumerate(self.problem.variables):
+                xi0 = x[i]
+                f0 = float(merit(jnp.asarray(x)))
+                lo = -1e12 if var.min_val is None else var.min_val
+                hi = 1e12 if var.max_val is None else var.max_val
+
+                def fline(v, i=i, lo=lo, hi=hi):
+                    if v < lo or v > hi or not np.isfinite(v):
+                        return 1e20
+                    trial = x.copy()
+                    trial[i] = v
+                    out = float(merit(jnp.asarray(trial)))
+                    return out if np.isfinite(out) else 1e20
+
+                step = max(abs(xi0) * 0.05, 0.1)
+                res = minimize_scalar(
+                    fline, bracket=(xi0 - step, xi0 + step),
+                    method="brent", options={"xtol": 1e-5},
+                )
+                if res.fun < f0:
+                    x[i] = res.x
+            current = float(merit(jnp.asarray(x)))
+            nit += 1
+            if abs(prev - current) / (abs(prev) + 1e-10) < tol:
+                break
+        if apply:
+            self.problem.update_optic(x)
+        return OptimizationResult(
+            jnp.asarray(x), current, nit=nit, success=True,
+            message="orthogonal descent converged",
+        )
 
 
 class OptaxOptimizer:

@@ -156,10 +156,13 @@ class OptimizationProblem:
         """Write optimized values back into the Optic builder."""
         system = self.apply_variables(self._base_system(), jnp.asarray(x))
         surfs = self.optic.surfaces.surfaces
-        radius = np.asarray(system.stack.radius)
-        conic = np.asarray(system.stack.conic)
-        thickness = np.asarray(system.stack.thickness)
-        coeffs = np.asarray(system.stack.coeffs)
+        stack = system.stack
+        radius = np.asarray(stack.radius)
+        conic = np.asarray(stack.conic)
+        thickness = np.asarray(stack.thickness)
+        coeffs = np.asarray(stack.coeffs)
+        dx, dy, dz = (np.asarray(a) for a in (stack.dx, stack.dy, stack.dz))
+        rx, ry, rz = (np.asarray(a) for a in (stack.rx, stack.ry, stack.rz))
         for i, s in enumerate(surfs):
             s.radius = float(radius[i]) if np.isfinite(radius[i]) else np.inf
             s.conic = float(conic[i])
@@ -168,4 +171,100 @@ class OptimizationProblem:
             )
             if s.coefficients:
                 s.coefficients = tuple(coeffs[i, : len(s.coefficients)])
+            if s.coordinate_system is None:
+                s.dx, s.dy, s.dz = float(dx[i]), float(dy[i]), float(dz[i])
+                s.rx, s.ry, s.rz = float(rx[i]), float(ry[i]), float(rz[i])
         self.optic._invalidate()
+
+    # Reporting tables (reference: problem.py:222-363) ------------------
+
+    def operand_info(self, show: bool = True):
+        """Operand table: type/target/bounds/weight/value/delta/contribution
+        (reference: problem.py:222-266)."""
+        import pandas as pd
+
+        system = self._base_system()
+        values = [float(op.value(system)) for op in self.operands]
+        deltas = [float(op.delta(system)) for op in self.operands]
+        contribs = [
+            op.weight * d**2 for op, d in zip(self.operands, deltas)
+        ]
+        total = sum(contribs)
+        df = pd.DataFrame(
+            {
+                "Operand Type": [
+                    op.operand_type.replace("_", " ") for op in self.operands
+                ],
+                "Target": [
+                    f"{op.target:+.4g}" if op.target is not None else ""
+                    for op in self.operands
+                ],
+                "Min. Bound": [
+                    op.min_val if op.min_val is not None else ""
+                    for op in self.operands
+                ],
+                "Max. Bound": [
+                    op.max_val if op.max_val is not None else ""
+                    for op in self.operands
+                ],
+                "Weight": [op.weight for op in self.operands],
+                "Value": [f"{v:+.4g}" for v in values],
+                "Delta": [f"{d:+.4g}" for d in deltas],
+                "Contrib. [%]": [
+                    round(c / total * 100, 2) if total else 0.0
+                    for c in contribs
+                ],
+            }
+        )
+        if show:
+            print(df.to_markdown(index=False))
+        return df
+
+    def variable_info(self, show: bool = True):
+        """Variable table: type/surface/value/bounds
+        (reference: problem.py:268-283)."""
+        import pandas as pd
+
+        system = self._base_system()
+        df = pd.DataFrame(
+            {
+                "Variable Type": [v.var_type for v in self.variables],
+                "Surface": [
+                    getattr(v.behavior, "surface_number", "")
+                    for v in self.variables
+                ],
+                "Value": [
+                    float(v.behavior.get(system)) for v in self.variables
+                ],
+                "Min. Bound": [
+                    v.min_val if v.min_val is not None else ""
+                    for v in self.variables
+                ],
+                "Max. Bound": [
+                    v.max_val if v.max_val is not None else ""
+                    for v in self.variables
+                ],
+            }
+        )
+        if show:
+            print(df.to_markdown(index=False))
+        return df
+
+    def merit_info(self, show: bool = True):
+        """Current merit value summary (reference: problem.py:285-316)."""
+        import pandas as pd
+
+        value = float(self.sum_squared())
+        df = pd.DataFrame({"Merit Function Value": [value]})
+        if show:
+            print(df.to_markdown(index=False))
+        return df
+
+    def info(self, show: bool = True):
+        """Full report: merit + operands + variables
+        (reference: problem.py:318-363)."""
+        return (
+            self.merit_info(show),
+            self.operand_info(show),
+            self.variable_info(show),
+        )

@@ -301,6 +301,26 @@ class NurbsWeightVariable(CoeffIndexVariable):
         )
 
 
+class GenericVariable(VariableBehavior):
+    """User-defined variable from getter/setter functions on the system.
+
+    The JAX analog of the reference's TorchVariable
+    (reference: optimization/variable/torch.py): expose any scalar that a
+    pure function can read from / write into the system pytree.
+    """
+
+    def __init__(self, getter, setter, **kwargs):
+        super().__init__(kwargs.pop("surface_number", 0))
+        self._getter = getter
+        self._setter = setter
+
+    def get(self, system):
+        return self._getter(system)
+
+    def set(self, system, value):
+        return self._setter(system, value)
+
+
 _BEHAVIORS = {
     "radius": RadiusVariable,
     "reciprocal_radius": ReciprocalRadiusVariable,
@@ -320,6 +340,7 @@ _BEHAVIORS = {
     "grid_sag": GridSagVariable,
     "nurbs_control_point": NurbsControlPointVariable,
     "nurbs_weight": NurbsWeightVariable,
+    "generic": GenericVariable,
 }
 
 

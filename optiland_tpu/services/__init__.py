@@ -286,6 +286,7 @@ class OptimizationService:
         cls = {
             "generic": opt.OptimizerGeneric,
             "least_squares": opt.LeastSquares,
+            "orthogonal_descent": opt.OrthogonalDescent,
             "dual_annealing": opt.DualAnnealing,
             "differential_evolution": opt.DifferentialEvolution,
             "glass_expert": opt.GlassExpert,

@@ -45,8 +45,8 @@ class OptimizationPanel(QWidget):
 
         self.optimizer_combo = QComboBox(self)
         self.optimizer_combo.addItems(
-            ["generic", "least_squares", "dual_annealing",
-             "differential_evolution", "glass_expert"]
+            ["generic", "least_squares", "orthogonal_descent",
+             "dual_annealing", "differential_evolution", "glass_expert"]
         )
         self.run_btn = QPushButton("Optimize", self)
         self.run_btn.clicked.connect(self.run)

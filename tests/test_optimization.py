@@ -268,3 +268,64 @@ class TestNewVariables:
         p.add_variable(lens, "index", surface_number=1)
         with pytest.raises(ValueError, match="constant-index"):
             p.sum_squared()
+
+
+def test_orthogonal_descent_converges_on_cooke():
+    """OrthogonalDescent reduces the Cooke merit (VERDICT r1 item 7;
+    reference: optimizer/scipy/orthogonal_descent.py:21)."""
+    from optiland_tpu.optimization import OrthogonalDescent
+
+    lens = _perturbed_cooke()
+    problem = _spot_problem(lens)
+    problem.add_variable(lens, "radius", surface_number=1)
+    problem.add_variable(lens, "radius", surface_number=2)
+    initial = float(problem.sum_squared())
+    res = OrthogonalDescent(problem).optimize(max_iter=10, tol=1e-8)
+    assert res.fun < initial / 10
+
+
+def test_optimizer_undo_restores_variables():
+    lens = _perturbed_cooke()
+    problem = _spot_problem(lens)
+    problem.add_variable(lens, "radius", surface_number=1)
+    r_before = float(lens.surfaces.surfaces[1].radius)
+    opt = LeastSquares(problem)
+    opt.optimize()
+    assert lens.surfaces.surfaces[1].radius != pytest.approx(r_before)
+    opt.undo()
+    assert lens.surfaces.surfaces[1].radius == pytest.approx(r_before, rel=1e-9)
+
+
+def test_problem_info_tables():
+    """Reporting tables (reference: problem.py:222-363)."""
+    lens = _perturbed_cooke()
+    problem = _spot_problem(lens)
+    problem.add_variable(lens, "radius", surface_number=1, min_val=10.0)
+    merit_df, op_df, var_df = problem.info(show=False)
+    assert len(op_df) == len(problem.operands)
+    assert abs(op_df["Contrib. [%]"].sum() - 100.0) < 0.2
+    assert list(var_df["Variable Type"]) == ["radius"]
+    assert var_df["Value"][0] == pytest.approx(25.0)
+    assert float(merit_df["Merit Function Value"][0]) == pytest.approx(
+        float(problem.sum_squared())
+    )
+
+
+def test_generic_variable_behavior():
+    """User-defined get/set variable (reference: variable/torch.py analog)."""
+    import jax.numpy as jnp
+
+    lens = _perturbed_cooke()
+    problem = _spot_problem(lens)
+    problem.add_variable(
+        lens, "generic",
+        getter=lambda system: system.stack.radius[1],
+        setter=lambda system, v: system.replace(
+            stack=system.stack.replace(
+                radius=system.stack.radius.at[1].set(v)
+            )
+        ),
+    )
+    initial = float(problem.sum_squared())
+    res = OptimizerGeneric(problem).optimize(maxiter=40)
+    assert res.fun < initial
