@@ -36,6 +36,7 @@ geometries/newton_raphson.py:119-168, rays/real_rays.py:163-205)
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -43,6 +44,20 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def mosaic_compile_ctx(interpret: bool):
+    """Scope under which TPU Pallas kernels must be traced.
+
+    With x64 enabled (the library default for reference parity), pallas_call
+    lowering emits i64 grid/index constants that Mosaic cannot legalize
+    ("failed to legalize operation 'func.return'"). Tracing the call under a
+    local x64-disabled scope keeps those constants i32; operands must already
+    be 32-bit. Interpret mode (CPU) is unaffected and keeps full x64.
+    """
+    if interpret or not jax.config.read("jax_enable_x64"):
+        return contextlib.nullcontext()
+    return jax.enable_x64(False)
 
 from optiland_tpu.core import geometry as geom
 from optiland_tpu.materials import dispersion
@@ -299,18 +314,20 @@ def _pallas_fwd(params, coeffs, mats, ray_arrays, spec, poly):
     )
     out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(8)]
     kernel = _make_fwd_kernel(spec, poly)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params table
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # geometry coeffs
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # dispersion coeffs
-        ] + [ray_spec] * len(arrs),
-        out_specs=[ray_spec] * 8,
-        out_shape=out_shape,
-        interpret=jax.default_backend() == "cpu",
-    )(params, coeffs, mats, *arrs)
+    interpret = jax.default_backend() == "cpu"
+    with mosaic_compile_ctx(interpret):
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # params table
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # geometry coeffs
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dispersion coeffs
+            ] + [ray_spec] * len(arrs),
+            out_specs=[ray_spec] * 8,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coeffs, mats, *arrs)
     return tuple(o.reshape(-1)[:R] for o in outs)
 
 
@@ -420,18 +437,20 @@ def _pallas_bwd(params, coeffs, mats, inputs, cotangents, spec, poly):
     out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(8)]
     out_shape.append(jax.ShapeDtypeStruct((rows_dp, LANE), dtype))
     kernel = _make_bwd_kernel(spec, poly, TILE_ROWS_BWD)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ] + [ray_spec] * len(arrs),
-        out_specs=[ray_spec] * 8 + [dp_spec],
-        out_shape=out_shape,
-        interpret=jax.default_backend() == "cpu",
-    )(params, coeffs, mats, *arrs)
+    interpret = jax.default_backend() == "cpu"
+    with mosaic_compile_ctx(interpret):
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ] + [ray_spec] * len(arrs),
+            out_specs=[ray_spec] * 8 + [dp_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coeffs, mats, *arrs)
     ray_grads = tuple(o.reshape(-1)[:R] for o in outs[:8])
     flat = outs[8].reshape(-1)
     dparams = flat[: S * NUM_P].reshape(S, NUM_P)
@@ -528,6 +547,10 @@ def _run_fast(system, rays, params, poly, newton_iters):
 
     spec = _spec_of(system, newton_iters, poly)
     dt = rays.x.dtype
+    if jax.default_backend() != "cpu" and dt == jnp.float64:
+        # compiled Mosaic kernels are 32-bit only (see mosaic_compile_ctx);
+        # the performance path runs f32 on TPU regardless of x64 mode
+        dt = jnp.float32
     S = system.cfg.num_surfaces
     # zero-width blocks are not lowerable; keep >=1 (kernel reads only nc/nm)
     coeffs = system.stack.coeffs.astype(dt)
@@ -571,6 +594,7 @@ def _run_fast(system, rays, params, poly, newton_iters):
     ray_in = (rays.x, rays.y, rays.z, rays.L, rays.M, rays.N, rays.i, rays.opd)
     if poly:
         ray_in = ray_in + (rays.w,)
+    ray_in = tuple(a.astype(dt) for a in ray_in)
     out = _traced(params, coeffs, mats, *ray_in)
     x, y, z, L, M, N, i, opd = out
     return RealRays(x=x, y=y, z=z, L=L, M=M, N=N, i=i, w=rays.w, opd=opd)

@@ -31,8 +31,25 @@ def huygens_field(
 
     All image args are flat (P,), pupil args flat (Q,). Returns complex (P,).
     """
+    if jax.default_backend() != "cpu":
+        # C128 does not exist on TPU: force f32 inputs so every complex
+        # intermediate is complex64 even when x64 mode is on
+        f32 = jnp.float32
+        image_x, image_y, image_z = (
+            image_x.astype(f32), image_y.astype(f32), image_z.astype(f32)
+        )
+        pupil_x, pupil_y, pupil_z = (
+            pupil_x.astype(f32), pupil_y.astype(f32), pupil_z.astype(f32)
+        )
+        pupil_amp = pupil_amp.astype(f32)
+        pupil_opd_mm = pupil_opd_mm.astype(f32)
+        wavelength_mm = jnp.asarray(wavelength_mm, f32)
+        Rp = jnp.asarray(Rp, f32)
     k = 2.0 * jnp.pi / wavelength_mm
-    phase_p = pupil_amp * jnp.exp(-1j * k * pupil_opd_mm)  # (Q,)
+    # lax.complex keeps the complex width tied to the real inputs (c64 on
+    # TPU where C128 does not exist; c128 in x64 CPU parity runs)
+    ph = -k * pupil_opd_mm
+    phase_p = pupil_amp * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))  # (Q,)
 
     def one_chunk(img):
         xi, yi, zi = img
@@ -40,7 +57,8 @@ def huygens_field(
         dy = yi[:, None] - pupil_y[None, :]
         dz = zi[:, None] - pupil_z[None, :]
         R = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        wave = jnp.exp(1j * k * R) / R
+        kR = k * R
+        wave = jax.lax.complex(jnp.cos(kR), jnp.sin(kR)) / R
         # obliquity: cos angle between (image - pupil) and pupil normal
         dot = (
             dx * (pupil_x / Rp)[None, :]
@@ -104,6 +122,21 @@ def huygens_psf_from_data(
             data.pupil_z, amp, opd_mm, float(wl_mm), float(data.radius),
         )
         return jnp.asarray(psf.reshape(shape))
+    import os
+
+    if (
+        jax.default_backend() != "cpu"
+        and os.environ.get("OPTILAND_TPU_PALLAS_HUYGENS", "1") != "0"
+    ):
+        # fused Pallas reduction on TPU (SURVEY 2.24 native site #1)
+        from optiland_tpu.ops.pallas_huygens import huygens_field_pallas
+
+        f = huygens_field_pallas(
+            image_x.ravel(), image_y.ravel(), image_z.ravel(),
+            data.pupil_x, data.pupil_y, data.pupil_z,
+            amp, opd_mm, wl_mm, data.radius,
+        )
+        return jnp.abs(f.reshape(shape)) ** 2
     f = huygens_field(
         image_x.ravel(), image_y.ravel(), image_z.ravel(),
         data.pupil_x, data.pupil_y, data.pupil_z,
