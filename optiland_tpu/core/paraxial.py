@@ -26,6 +26,16 @@ def _paraxial_arrays(system: System, wavelength=None):
     stack, cfg = system.stack, system.cfg
     w = system.primary_wavelength if wavelength is None else wavelength
     R = stack.radius
+    # toroidal surfaces: stack.radius holds R_rot (x); the meridional power
+    # the reference's paraxial sees is R_yz, stored in geo_p1
+    # (reference: geometries/toroidal.py:67 passes radius_y as the base radius)
+    from optiland_tpu.core import geometry as geom
+
+    if any(c == geom.TOROIDAL for c in cfg.geom_codes):
+        tor = jnp.asarray(
+            [c == geom.TOROIDAL for c in cfg.geom_codes], dtype=bool
+        )
+        R = jnp.where(tor, stack.geo_p1, R)
     n = n_all(stack, cfg, w)
     pos = positions(stack)
     refl = list(cfg.reflective)

@@ -607,7 +607,12 @@ class OpticToCodeVConverter:
                 return {"name": mat.name.upper(),
                         "catalog": mat.reference.upper()}
             return {"name": mat.name.upper()}
-        # AbbeMaterial or unknown -> fictitious Nd:Vd glass
+        # AbbeMaterial round-trips its defining (nd, vd) pair exactly
+        from optiland_tpu.materials import AbbeMaterial
+
+        if isinstance(mat, AbbeMaterial):
+            return {"nd": mat.index, "vd": mat.abbe}
+        # unknown -> fictitious Nd:Vd glass recomputed from dispersion
         try:
             n_F = float(np.ravel(np.asarray(mat.n(_WL_F)))[0])
             n_C = float(np.ravel(np.asarray(mat.n(_WL_C)))[0])
@@ -717,7 +722,7 @@ class CodeVFileEncoder:
         if name == "REFL":
             return "REFL"
         if "nd" in glass and "vd" in glass:
-            return f"{glass['nd']:.6f}:{glass['vd']:.4f}"
+            return f"{glass['nd']:.9f}:{glass['vd']:.6f}"
         catalog = glass.get("catalog")
         if catalog:
             return f"{name}_{catalog}"

@@ -257,6 +257,7 @@ def _euler_from_matrix(R):
 
 
 def _rot_matrix(rx, ry, rz):
+    """Zemax coordinate-break tilt composition (about x, then y, then z)."""
     cx, sx = np.cos(rx), np.sin(rx)
     cy, sy = np.cos(ry), np.sin(ry)
     cz, sz = np.cos(rz), np.sin(rz)
@@ -264,6 +265,33 @@ def _rot_matrix(rx, ry, rz):
     Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
     Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
     return Rx @ Ry @ Rz
+
+
+def _rot_matrix_zyx(rx, ry, rz):
+    """Trace-core surface-frame composition: Rz @ Ry @ Rx (the matrix whose
+    transpose core.trace applies as rotate_z(-rz), rotate_y(-ry),
+    rotate_x(-rx)); inverse of _euler_from_matrix."""
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def _euler_xyz_from_matrix(R):
+    """Angles (rx, ry, rz) with Rx@Ry@Rz == R (Zemax CB tilt order);
+    inverse of _rot_matrix."""
+    sy = np.clip(R[0, 2], -1.0, 1.0)
+    ry = np.arcsin(sy)
+    if abs(sy) < 1.0 - 1e-10:
+        rx = np.arctan2(-R[1, 2], R[2, 2])
+        rz = np.arctan2(-R[0, 1], R[0, 0])
+    else:
+        rx = np.arctan2(R[2, 1], R[1, 1])
+        rz = 0.0
+    return rx, ry, rz
 
 
 class ZemaxToOpticConverter:
@@ -448,13 +476,83 @@ def save_zemax_file(optic: Optic, filename: str) -> None:
         "even_asphere": "EVENASPH", "odd_asphere": "ODDASPHE",
         "toroidal": "TOROIDAL",
     }
-    for i, s in enumerate(optic.surfaces.surfaces):
-        lines.append(f"SURF {i}")
-        lines.append(f"  TYPE {type_names.get(s.surface_type, 'STANDARD')}")
-        curv = 0.0 if np.isinf(s.radius) else 1.0 / s.radius
-        lines.append(f"  CURV {curv!r} 0 0 0 0")
+    def _r(v):
+        # plain-float repr: numpy scalars repr as "np.float64(...)"
+        return repr(float(v))
+
+    surfaces = optic.surfaces.surfaces
+    n = len(surfaces)
+    # global vertex z per surface (surface 1 at z=0, object at -t0)
+    z_abs = [0.0] * n
+    if n:
+        z_abs[0] = -float(surfaces[0].thickness)
+    for k in range(2, n):
+        z_abs[k] = z_abs[k - 1] + float(surfaces[k - 1].thickness)
+
+    tilted = any(
+        s.dx or s.dy or s.dz or s.rx or s.ry or s.rz for s in surfaces
+    )
+    # reader-frame simulation: emit a COORDBRK whenever the accumulated
+    # frame does not already coincide with the surface's global frame
+    # (inverse of ZemaxToOpticConverter._surfaces' accumulation)
+    origin = np.zeros(3)
+    R = np.eye(3)
+    idx = 0
+
+    def _surf_header(type_name):
+        nonlocal idx
+        lines.append(f"SURF {idx}")
+        lines.append(f"  TYPE {type_name}")
+        idx += 1
+
+    for i, s in enumerate(surfaces):
+        if tilted and i > 0:
+            o_i = np.array([float(s.dx), float(s.dy),
+                            z_abs[i] + float(s.dz)])
+            R_i = _rot_matrix_zyx(float(s.rx), float(s.ry), float(s.rz))
+            if not (
+                np.allclose(R, R_i, atol=1e-12)
+                and np.allclose(origin, o_i, atol=1e-10)
+            ):
+                # two breaks: pure translation in the current frame
+                # (rotation-free CB translates by the full 3-vector), then
+                # pure rotation — exact for any fold, including 90 degrees
+                delta = R.T @ (o_i - origin)
+                if not np.allclose(delta, 0.0, atol=1e-10):
+                    _surf_header("COORDBRK")
+                    lines.append("  CURV 0.0 0 0 0 0")
+                    lines.append(f"  DISZ {_r(delta[2])}")
+                    lines.append(f"  PARM 1 {_r(delta[0])}")
+                    lines.append(f"  PARM 2 {_r(delta[1])}")
+                    lines.append("  PARM 3 0.0")
+                    lines.append("  PARM 4 0.0")
+                    lines.append("  PARM 5 0.0")
+                    lines.append("  PARM 6 0.0")
+                R_rel = R.T @ R_i
+                if not np.allclose(R_rel, np.eye(3), atol=1e-12):
+                    rx_r, ry_r, rz_r = _euler_xyz_from_matrix(R_rel)
+                    _surf_header("COORDBRK")
+                    lines.append("  CURV 0.0 0 0 0 0")
+                    lines.append("  DISZ 0.0")
+                    lines.append("  PARM 1 0.0")
+                    lines.append("  PARM 2 0.0")
+                    lines.append(f"  PARM 3 {_r(np.rad2deg(rx_r))}")
+                    lines.append(f"  PARM 4 {_r(np.rad2deg(ry_r))}")
+                    lines.append(f"  PARM 5 {_r(np.rad2deg(rz_r))}")
+                    lines.append("  PARM 6 0.0")
+                origin, R = o_i.copy(), R_i
+
+        _surf_header(type_names.get(s.surface_type, "STANDARD"))
+        if s.surface_type == "toroidal":
+            # CURV row carries the Y-Z curve radius; rotation radius in PARM 2
+            # (mirrors ZemaxToOpticConverter._surfaces' toroidal mapping)
+            r_yz = float(s.geo_p1)
+            curv = 0.0 if np.isinf(r_yz) else 1.0 / r_yz
+        else:
+            curv = 0.0 if np.isinf(s.radius) else 1.0 / s.radius
+        lines.append(f"  CURV {_r(curv)} 0 0 0 0")
         if s.conic:
-            lines.append(f"  CONI {s.conic!r}")
+            lines.append(f"  CONI {_r(s.conic)}")
         t = "INFINITY" if np.isinf(s.thickness) else repr(float(s.thickness))
         lines.append(f"  DISZ {t}")
         if s.is_stop and i != 0:
@@ -468,9 +566,24 @@ def save_zemax_file(optic: Optic, filename: str) -> None:
             lines.append(f"  GLAS {mat} 0 0")
         elif isinstance(mat, Material):
             lines.append(f"  GLAS {mat.name} 0 0")
-        for k, c in enumerate(s.coefficients):
-            lines.append(f"  PARM {k + 1} {c!r}")
+        if s.surface_type == "toroidal":
+            r_rot = float(s.radius)
+            lines.append(
+                f"  PARM 2 {_r(0.0 if np.isinf(r_rot) else r_rot)}"
+            )
+            for k, c in enumerate(s.coefficients):
+                lines.append(f"  PARM {k + 3} {_r(c)}")
+        else:
+            for k, c in enumerate(s.coefficients):
+                lines.append(f"  PARM {k + 1} {_r(c)}")
         if s.aperture is not None:
-            lines.append(f"  CLAP 0 {s.aperture / 2!r} 0")
+            lines.append(f"  CLAP 0 {_r(s.aperture / 2)} 0")
+        if (
+            s.is_stop
+            and ap.ap_type == "float_by_stop_size"
+        ):
+            lines.append(f"  DIAM {_r(ap.value)} 1 0 0 1 \"\"")
+        if not np.isinf(s.thickness):
+            origin = origin + R @ np.array([0.0, 0.0, float(s.thickness)])
     with open(filename, "w") as fh:
         fh.write("\n".join(lines) + "\n")
