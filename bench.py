@@ -28,11 +28,18 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from optiland_tpu.core import raygen, trace as xla_trace  # noqa: E402
-from optiland_tpu.ops.pallas_trace import pallas_supported, trace_fast  # noqa: E402
+from optiland_tpu.ops.pallas_trace import (  # noqa: E402
+    pallas_field_supported, pallas_supported, trace_fast, trace_fast_field,
+)
 from optiland_tpu.samples import CookeTriplet  # noqa: E402
 
-NUM_RAYS = int(os.environ.get("BENCH_RAYS", 16_000_000))
-ITERS = int(os.environ.get("BENCH_ITERS", 8))
+NUM_RAYS = int(os.environ.get("BENCH_RAYS", 16_777_216))  # 2**24: multiple of the ray tile, so pad/slice are no-ops
+ITERS = int(os.environ.get("BENCH_ITERS", 4))
+# Steps fused inside one jitted fori_loop per timed call. The tunneled TPU
+# link adds a fixed ~25 ms host-side cost per dispatch; fusing INNER steps
+# into one dispatch amortizes it so the measurement reflects device
+# throughput (what N steps of a real optimization loop cost), not link RTT.
+INNER = int(os.environ.get("BENCH_INNER", 8))
 # BENCH_MESH=N: shard rays over an N-device mesh (shard_map around the
 # Pallas kernel; psum'd parameter gradients). N must divide the local
 # device count; defaults to single-device.
@@ -53,12 +60,18 @@ def main():
         mesh = make_mesh(MESH_N)
         system = jax.device_put(system, replicated(mesh))
 
-    def gen(key, sys_):
+    # Fused generate+trace kernel: launch state built in-kernel from 8 SMEM
+    # scalars, so the only per-ray HBM input is the pupil sample pair.
+    use_field = use_pallas and pallas_field_supported(system) and not MESH_N
+
+    def gen_pupil(key):
         k1, k2 = jax.random.split(key)
         r = jnp.sqrt(jax.random.uniform(k1, (NUM_RAYS,), jnp.float32))
         th = jax.random.uniform(k2, (NUM_RAYS,), jnp.float32, 0, 2 * np.pi)
-        Px = r * jnp.cos(th)
-        Py = r * jnp.sin(th)
+        return r * jnp.cos(th), r * jnp.sin(th)
+
+    def gen(key, sys_):
+        Px, Py = gen_pupil(key)
         H = jnp.zeros_like(Px)
         return raygen.generate_rays(
             sys_, H, jnp.full_like(Px, 0.7), Px, Py, WAVELENGTH
@@ -76,40 +89,60 @@ def main():
         return out.x, out.y
 
     # End-to-end step: on-device ray generation + trace (+ merit/grad).
-    # Inputs vary per iteration (PRNG key) so no execution/result caching
-    # layer between host and device can shortcut the measurement.
+    # Inputs vary per step (PRNG key folded with the step index) so no
+    # execution/result caching layer can shortcut the measurement.
+    def step_xy(key, sys_):
+        if use_field:
+            Px, Py = gen_pupil(key)
+            out = trace_fast_field(sys_, 0.0, 0.7, Px, Py, WAVELENGTH)
+            return out.x, out.y
+        return final_xy(sys_, gen(key, sys_))
+
     def merit(key, stack):
         sys_ = system.replace(stack=stack)
-        x, y = final_xy(sys_, gen(key, sys_))
+        x, y = step_xy(key, sys_)
         return jnp.mean((x - jnp.mean(x)) ** 2 + (y - jnp.mean(y)) ** 2)
 
-    fwdbwd = jax.jit(jax.value_and_grad(merit, argnums=1))
-    fwd = jax.jit(
-        lambda key, stack: final_xy(
-            system.replace(stack=stack), gen(key, system.replace(stack=stack))
-        )
-    )
+    @jax.jit
+    def fwdbwd_loop(key, stack):
+        def body(i, carry):
+            v_acc, g_acc = carry
+            v, g = jax.value_and_grad(merit, argnums=1)(
+                jax.random.fold_in(key, i), stack
+            )
+            return v_acc + v, jax.tree.map(jnp.add, g_acc, g)
+
+        g0 = jax.tree.map(jnp.zeros_like, stack)
+        return jax.lax.fori_loop(0, INNER, body, (jnp.float32(0.0), g0))
+
+    @jax.jit
+    def fwd_loop(key, stack):
+        def body(i, acc):
+            sys_ = system.replace(stack=stack)
+            x, y = step_xy(jax.random.fold_in(key, i), sys_)
+            return acc + jnp.mean(x) + jnp.mean(y)
+
+        return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
 
     keys = [jax.random.PRNGKey(k) for k in range(2 * ITERS + 2)]
-    v, g = fwdbwd(keys[-1], system.stack)
-    jax.block_until_ready((v, g))
-    jax.block_until_ready(fwd(keys[-2], system.stack))
+    jax.block_until_ready(fwdbwd_loop(keys[-1], system.stack))
+    jax.block_until_ready(fwd_loop(keys[-2], system.stack))
 
     ts = []
     for k in range(ITERS):
         t0 = time.perf_counter()
-        v, g = fwdbwd(keys[k], system.stack)
-        jax.block_until_ready((v, g))
+        out = fwdbwd_loop(keys[k], system.stack)
+        jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
-    t_fwdbwd = float(np.median(ts))
+    t_fwdbwd = float(np.median(ts)) / INNER
 
     ts = []
     for k in range(ITERS):
         t0 = time.perf_counter()
-        o = fwd(keys[ITERS + k], system.stack)
+        o = fwd_loop(keys[ITERS + k], system.stack)
         jax.block_until_ready(o)
         ts.append(time.perf_counter() - t0)
-    t_fwd = float(np.median(ts))
+    t_fwd = float(np.median(ts)) / INNER
 
     rs_fwdbwd = NUM_RAYS * num_traced_surfaces / t_fwdbwd
     rs_fwd = NUM_RAYS * num_traced_surfaces / t_fwd
@@ -127,7 +160,10 @@ def main():
                     "num_traced_surfaces": int(num_traced_surfaces),
                     "t_fwdbwd_s": t_fwdbwd,
                     "t_fwd_s": t_fwd,
-                    "kernel": "pallas" if use_pallas else "xla",
+                    "kernel": (
+                        "pallas-field" if use_field
+                        else "pallas" if use_pallas else "xla"
+                    ),
                     "mesh": MESH_N or 1,
                     "device": str(jax.devices()[0]),
                 },

@@ -85,15 +85,23 @@ class ThroughFocusAnalysis:
         elif wavelengths == "primary":
             wavelengths = [optic.primary_wavelength]
         self.wavelengths = wavelengths
+        # absolute image-plane z positions (reference: through_focus.py:89-97)
+        from optiland_tpu.core.system import positions as _positions
+
+        nominal_z = float(
+            np.ravel(np.asarray(_positions(optic.system.stack)))[-1]
+        )
         self.positions = [
-            (k - num_steps // 2) * delta_focus for k in range(num_steps)
+            nominal_z + (k - num_steps // 2) * delta_focus
+            for k in range(num_steps)
         ]
         self.data = self._generate_through_focus_data()
 
     def _generate_through_focus_data(self):
         nominal = self.optic.surfaces.surfaces[-2].thickness
         results = []
-        for dz in self.positions:
+        for k in range(self.num_steps):
+            dz = (k - self.num_steps // 2) * self.delta_focus
             self.optic.surfaces.surfaces[-2].thickness = nominal + dz
             self.optic._invalidate()
             results.append(self._perform_analysis_at_focus())

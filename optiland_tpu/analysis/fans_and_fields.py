@@ -158,34 +158,48 @@ class GridDistortion(BaseAnalysis):
         super().__init__(optic, [wavelength])
 
     def _generate_data(self):
-        extent = 1 / np.sqrt(2)
+        """Ideal grid from a paraxial-like small-field chief ray; real grid
+        chief-centered (reference: grid_distortion.py:133-220)."""
+        wl = self.wavelength
+        chief = self.optic.trace_generic(
+            Hx=np.zeros(1), Hy=np.zeros(1), Px=np.zeros(1), Py=np.zeros(1),
+            wavelength=wl,
+        )
+        x_chief = float(np.ravel(np.asarray(chief.x))[0])
+        y_chief = float(np.ravel(np.asarray(chief.y))[0])
+        small = self.optic.trace_generic(
+            Hx=np.zeros(1), Hy=np.full(1, 1e-10), Px=np.zeros(1),
+            Py=np.zeros(1), wavelength=wl,
+        )
+        y_ref = float(np.ravel(np.asarray(small.y))[0])
+
+        extent = np.sqrt(2) / 2
         H = np.linspace(-extent, extent, self.num_points)
         Hx, Hy = np.meshgrid(H, H)
+        mf_rad = np.radians(self.optic.fields.max_field)
+        if self.distortion_type == "f-tan":
+            const = (y_ref - y_chief) / np.tan(1e-10 * mf_rad)
+            xp = const * np.tan(Hx * mf_rad)
+            yp = const * np.tan(Hy * mf_rad)
+        elif self.distortion_type == "f-theta":
+            const = (y_ref - y_chief) / (1e-10 * mf_rad)
+            xp = const * Hx * mf_rad
+            yp = const * Hy * mf_rad
+        else:
+            raise ValueError('Distortion type must be "f-tan" or "f-theta"')
+
         res = self.optic.trace_generic(
             Hx=Hx.ravel(), Hy=Hy.ravel(),
             Px=np.zeros(Hx.size), Py=np.zeros(Hx.size),
-            wavelength=self.wavelength,
+            wavelength=wl,
         )
-        xr = np.asarray(res.x).reshape(Hx.shape)
-        yr = np.asarray(res.y).reshape(Hy.shape)
-
-        max_field = np.radians(self.optic.fields.max_field * extent)
-        if self.distortion_type == "f-tan":
-            const = yr[-1, self.num_points // 2] / np.tan(max_field)
-            xp = const * np.tan(np.radians(self.optic.fields.max_field) * Hx)
-            yp = const * np.tan(np.radians(self.optic.fields.max_field) * Hy)
-        elif self.distortion_type == "f-theta":
-            const = yr[-1, self.num_points // 2] / max_field
-            xp = const * np.radians(self.optic.fields.max_field) * Hx
-            yp = const * np.radians(self.optic.fields.max_field) * Hy
-        else:
-            raise ValueError('Distortion type must be "f-tan" or "f-theta"')
+        xr = np.asarray(res.x).reshape(Hx.shape) - x_chief
+        yr = np.asarray(res.y).reshape(Hy.shape) - y_chief
         delta = np.hypot(xr - xp, yr - yp)
-        denom = np.hypot(xp, yp)
-        denom = np.where(denom == 0, 1.0, denom)
+        rp = np.hypot(xp, yp)
         return {
             "xr": xr, "yr": yr, "xp": xp, "yp": yp,
-            "max_distortion": float(np.max(100 * delta / denom)),
+            "max_distortion": float(np.max(100 * delta / rp)),
         }
 
     def view(self, figsize=(7, 5.5), ax=None):
@@ -387,30 +401,38 @@ class PupilAberration(BaseAnalysis):
         super().__init__(optic, wavelengths)
 
     def _generate_data(self):
+        """Percent deviation of the real stop intercept from the paraxial
+        one, normalized by the paraxial stop semi-diameter, for rays along
+        both pupil axes; vignetted rays are NaN (reference:
+        pupil_aberration.py:180-236)."""
         from optiland_tpu.core import paraxial as px
-        from optiland_tpu.core.system import positions
 
         system = self.optic.system
         stop_idx = system.cfg.stop_index
-        data = {}
-        Py = np.linspace(-1, 1, self.num_points)
+        wl0 = float(self.optic.primary_wavelength)
+        P = np.linspace(-1, 1, self.num_points)
+
+        y_unit, _ = px.trace(system, 0.0, 1.0, wl0)
+        d = float(np.ravel(np.asarray(y_unit[stop_idx]))[0])
+        y_grid, _ = px.trace(system, 0.0, P, wl0)
+        parax_ref = np.asarray(y_grid[stop_idx])
+
+        data = {"Px": P, "Py": P}
         for field in self.fields:
             fkey = f"{tuple(field)}"
             data[fkey] = {}
             for wl in self.wavelengths:
-                res = self.optic.trace(
-                    Hx=field[0], Hy=field[1], wavelength=wl,
-                    num_rays=self.num_points, distribution="line_y",
-                )
-                # stop-surface intercept from history
-                y_stop = np.asarray(res.history["y"])[stop_idx]
-                semi = np.max(np.abs(y_stop))
-                semi = semi if semi > 0 else 1.0
-                real = y_stop / semi
-                data[fkey][f"{wl}"] = {
-                    "Py": Py,
-                    "error_y": 100 * (Py - real),
-                }
+                entry = {}
+                for axis, dist in (("x", "line_x"), ("y", "line_y")):
+                    res = self.optic.trace(
+                        Hx=field[0], Hy=field[1], wavelength=wl,
+                        num_rays=self.num_points, distribution=dist,
+                    )
+                    real = np.asarray(res.history[axis])[stop_idx]
+                    inten = np.asarray(res.history["intensity"])[stop_idx]
+                    err = (parax_ref - real) / d * 100
+                    entry[axis] = np.where(inten == 0, np.nan, err)
+                data[fkey][f"{wl}"] = entry
         return data
 
     def view(self, figsize=(7, 4.5), ax=None):
@@ -423,7 +445,7 @@ class PupilAberration(BaseAnalysis):
             fkey = f"{tuple(field)}"
             for wl in self.wavelengths:
                 d = self.data[fkey][f"{wl}"]
-                axes[i][0].plot(d["Py"], d["error_y"], label=f"{wl:.4f} um")
+                axes[i][0].plot(self.data["Py"], d["y"], label=f"{wl:.4f} um")
             axes[i][0].set_title(f"field {field}")
             axes[i][0].set_ylabel("Pupil aberration (%)")
         axes[0][0].legend(fontsize=7)

@@ -65,18 +65,55 @@ class SpotDiagram:
     """
 
     def __init__(self, optic, fields="all", wavelengths="all", num_rings=6,
-                 distribution="hexapolar"):
+                 distribution="hexapolar", coordinates="local",
+                 reference="chief_ray"):
         self.optic = optic
         if fields == "all":
             fields = optic.fields.get_field_coords()
         if wavelengths == "all":
             wavelengths = optic.wavelengths.get_wavelengths()
+        if coordinates not in ("global", "local"):
+            raise ValueError("Coordinates must be 'global' or 'local'.")
+        if reference not in ("chief_ray", "centroid"):
+            raise ValueError("Reference must be 'chief_ray' or 'centroid'.")
         self.fields = fields
         self.wavelengths = wavelengths
+        self.coordinates = coordinates
+        self.reference = reference
+        # centering/centroids use the primary wavelength if analyzed, else
+        # the first (reference: spot_diagram/core.py:113-119)
+        prim = float(optic.primary_wavelength)
+        wl_vals = [float(w) for w in wavelengths]
+        self._ref_idx = wl_vals.index(prim) if prim in wl_vals else 0
         dist = create_distribution(distribution)
         dist.generate_points(num_rings)
         self._Px, self._Py = dist.x, dist.y
         self.data = self._generate_data()
+
+    def _to_local(self, x, y, z):
+        """Global -> image-surface-local coordinates (reference:
+        visualization/system/utils.transform with is_global=True). Identity
+        for the common untilted, undecentered image surface."""
+        st = self.optic.system.stack
+        dx, dy = float(st.dx[-1]), float(st.dy[-1])
+        rx, ry, rz = float(st.rx[-1]), float(st.ry[-1]), float(st.rz[-1])
+        if (dx, dy, rx, ry, rz) == (0.0, 0.0, 0.0, 0.0, 0.0):
+            return x, y
+        from optiland_tpu.core.system import positions
+        from optiland_tpu.ops import kernels
+
+        pos = positions(st)
+        x = np.asarray(x) - dx
+        y = np.asarray(y) - dy
+        zl = np.asarray(z) - float(pos[-1] + st.dz[-1])
+        zero = np.zeros_like(x)
+        x, y, _, _ = (np.asarray(a) for a in
+                      kernels.rotate_z(x, y, zero, zero, -rz))
+        x, zl, _, _ = (np.asarray(a) for a in
+                       kernels.rotate_y(x, zl, zero, zero, -ry))
+        y, zl, _, _ = (np.asarray(a) for a in
+                       kernels.rotate_x(y, zl, zero, zero, -rx))
+        return x, y
 
     def _generate_data(self):
         data = []
@@ -91,16 +128,61 @@ class SpotDiagram:
                     wl,
                     record=False,
                 )
-                row.append(SpotData(res.x, res.y, res.i))
+                # zero-intensity (vignetted/TIR) rays are dropped, matching
+                # reference spot_diagram/core.py:470-472
+                i = np.asarray(res.i)
+                mask = i > 0
+                x, y = np.asarray(res.x)[mask], np.asarray(res.y)[mask]
+                if self.coordinates == "local":
+                    x, y = self._to_local(x, y, np.asarray(res.z)[mask])
+                row.append(SpotData(x, y, i[mask]))
             data.append(row)
         return data
 
+    def _reference_centers(self):
+        """Per-field (x, y) centering points: the chief-ray intercept or the
+        reference-wavelength centroid (reference: spot_diagram/reference.py)."""
+        if self.reference == "centroid":
+            return [row[self._ref_idx].centroid for row in self.data]
+        wl = float(self.wavelengths[self._ref_idx])
+        centers = []
+        for (Hx, Hy) in self.fields:
+            res = self.optic.trace_generic(
+                np.asarray([Hx]), np.asarray([Hy]),
+                np.zeros(1), np.zeros(1), wl, record=False,
+            )
+            x, y = np.asarray(res.x), np.asarray(res.y)
+            if self.coordinates == "local":
+                x, y = self._to_local(x, y, np.asarray(res.z))
+            centers.append((float(np.ravel(x)[0]), float(np.ravel(y)[0])))
+        return centers
+
+    def centroid(self):
+        """Reference-wavelength spot centroid per field
+        (reference: spot_diagram/core.py:329-340)."""
+        return [row[self._ref_idx].centroid for row in self.data]
+
     def rms_spot_radius(self):
-        """Per-field, per-wavelength RMS spot radii."""
-        return [[sd.rms_radius() for sd in row] for row in self.data]
+        """Per-field, per-wavelength RMS spot radii about the reference
+        center (reference: spot_diagram/core.py:357-372)."""
+        out = []
+        for (cx, cy), row in zip(self._reference_centers(), self.data):
+            out.append([
+                float(np.sqrt(np.mean((sd.x - cx) ** 2 + (sd.y - cy) ** 2)))
+                for sd in row
+            ])
+        return out
 
     def geometric_spot_radius(self):
-        return [[sd.geometric_radius() for sd in row] for row in self.data]
+        """Max spot radius about the reference center
+        (reference: spot_diagram/core.py:342-355)."""
+        out = []
+        for (cx, cy), row in zip(self._reference_centers(), self.data):
+            out.append([
+                float(np.max(np.sqrt((sd.x - cx) ** 2 + (sd.y - cy) ** 2)))
+                for sd in row
+            ])
+        return out
 
     def view(self, ax=None):
         """Plot the spot grid with matplotlib."""

@@ -416,6 +416,42 @@ def invariant(system: System):
     return (yb[1] * n[1] * ua[1] - ya[1] * n[1] * ub[1])[0]
 
 
+def trace(system: System, Hy, Py, wavelength=None):
+    """Paraxial field/pupil trace: per-surface (heights, slopes) for
+    normalized field Hy and pupil Py coordinates (reference:
+    paraxial.py:412-426 + raytrace/paraxial_ray_tracer.py:33-56 + the
+    field definitions' get_paraxial_object_position)."""
+    epl, epd = pupil_scalars(system)
+    y1 = jnp.atleast_1d(jnp.asarray(Py, jnp.result_type(float))) * epd / 2
+    pos = positions(system.stack)
+    ft = system.cfg.field_type
+    max_field = jnp.max(
+        jnp.sqrt(system.field_x**2 + system.field_y**2)
+    )
+    field_y = max_field * jnp.asarray(Hy)
+    if ft == "angle":
+        y0 = y1 - jnp.tan(jnp.radians(field_y)) * epl
+        z0 = jnp.ones_like(y1) * pos[1]
+    elif ft == "object_height":
+        y0 = jnp.ones_like(y1) * (-field_y)
+        z0 = jnp.ones_like(y1) * pos[0]
+    elif ft in ("paraxial_image_height", "real_image_height"):
+        from optiland_tpu.core.raygen import _unit_chief
+
+        y_img_unit, y_obj_unit, u_obj_unit = _unit_chief(system)
+        if system.cfg.obj_infinite:
+            u_obj = u_obj_unit * (field_y / y_img_unit)
+            y0 = y1 + u_obj * -epl
+            z0 = jnp.ones_like(y1) * pos[1]
+        else:
+            y0 = jnp.ones_like(y1) * (y_obj_unit * (field_y / y_img_unit))
+            z0 = jnp.ones_like(y1) * pos[0]
+    else:
+        raise NotImplementedError(f"Field type {ft} not supported")
+    u0 = (y1 - y0) / (epl - z0)
+    return trace_generic(system, y0, u0, z0, wavelength=wavelength)
+
+
 def marginal_ray(system: System):
     """Marginal ray heights/slopes at every surface
     (reference: paraxial.py:316-345)."""

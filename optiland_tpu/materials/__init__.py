@@ -87,6 +87,14 @@ class BaseMaterial:
     def has_absorption(self) -> bool:
         return self.k_table.shape[0] > 0 and bool(np.any(self.k_table[:, 1] > 0))
 
+    def abbe(self):
+        """Abbe number V_d = (n_d - 1)/(n_F - n_C) at the Fraunhofer
+        d/F/C lines (reference: materials/base.py:236-252)."""
+        nD = self.n(0.5875618)
+        nF = self.n(0.4861327)
+        nC = self.n(0.6562725)
+        return (nD - 1.0) / (nF - nC)
+
     def to_dict(self) -> dict:
         return {"type": type(self).__name__}
 

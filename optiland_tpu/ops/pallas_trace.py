@@ -62,16 +62,18 @@ def mosaic_compile_ctx(interpret: bool):
 from optiland_tpu.core import geometry as geom
 from optiland_tpu.materials import dispersion
 
-TILE_ROWS_FWD = 64  # rows of 128 lanes per program: 8192 rays/tile
-TILE_ROWS_BWD = 16  # smaller tile for the adjoint (more live values)
+TILE_ROWS_FWD = 512  # rows of 128 lanes per program: 64k rays/tile
+# (large tiles amortize per-step DMA setup: 64->512 rows cut the measured
+# HBM-bound forward wall-clock ~18% on v5e; >=1024 can fail VMEM limits)
+TILE_ROWS_BWD = 32  # smaller tile for the adjoint (more live values)
 LANE = 128
 
 # param table columns
 (
     P_RADIUS, P_CONIC, P_POS, P_NPOST, P_APMAX, P_KPRE,
-    P_DX, P_DY, P_RX, P_RY, P_RZ, P_G1, P_G2,
-) = range(13)
-NUM_P = 13
+    P_DX, P_DY, P_RX, P_RY, P_RZ, P_G1, P_G2, P_APMIN,
+) = range(14)
+NUM_P = 14
 
 # Geometry families the kernels cover (all closed-form or Newton-from-sag;
 # grid/NURBS need gathers that do not lower well on TPU).
@@ -104,7 +106,8 @@ def _rot_global(x, y, z, L, M, N, rx, ry, rz):
 
 
 def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
-               newton_iters, formula=None, getm=None, nm=0):
+               newton_iters, formula=None, getm=None, nm=0,
+               has_absorption=True, inner=False):
     """One surface step on a ray tile (pure jnp; runs inside the kernels).
 
     ``getp(s, col)`` / ``getc(s, ci)`` return scalar surface parameters —
@@ -159,12 +162,16 @@ def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
     x = x + t * L
     y = y + t * M
     zl = zl + t * N
-    if formula is None:
+    if formula is None and has_absorption:
         k_pre = getp(s, P_KPRE)
-        wl_um = getp(0, P_KPRE)  # row 0 stores the trace wavelength (k0 = 0)
         inten = inten * jnp.exp(-4 * np.pi * k_pre * t * 1e3)
     opd = opd + jnp.abs(t * n_pre)
-    inten = jnp.where(x * x + y * y > ap_max * ap_max, 0.0, inten)
+    r2 = x * x + y * y
+    inten = jnp.where(r2 > ap_max * ap_max, 0.0, inten)
+    if inner:
+        # annular obscuration (reference: physical_apertures/radial.py:31)
+        ap_min = getp(s, P_APMIN)
+        inten = jnp.where(r2 < ap_min * ap_min, 0.0, inten)
 
     # ---- normal (shared geometry code: AD of the sag) ----
     nx, ny, nz = geom.surface_normal_static(
@@ -186,7 +193,9 @@ def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
             mvec = jnp.stack([getm(s, i) for i in range(nm)])
             n_post = dispersion.n_formula_static(formula, mvec, w)
         else:
-            n_post = getp(s, P_NPOST) * jnp.ones_like(n_pre)
+            # mono mode: index is uniform across the tile — keep it 0-d so
+            # u = n_pre/n_post is a scalar divide, not a per-ray one
+            n_post = getp(s, P_NPOST)
         u = n_pre / n_post
         root = jnp.sqrt(1 - u * u * (1 - adot * adot))
         L = u * L + nx * (root - u * adot)
@@ -209,10 +218,12 @@ def _chain(spec, getp, getc, getm, x, y, z, L, M, N, i, opd, w=None):
     ``spec`` is the static StructSpec; ``w`` is the per-ray wavelength array
     in polychromatic mode (else None and the mono param table is used).
     """
-    codes, refl, tilted, auxes, nc, newton_iters, formulas, nm = spec
+    codes, refl, tilted, auxes, nc, newton_iters, formulas, nm = spec[:8]
+    has_abs = spec[8] if len(spec) > 8 else True
+    inner = spec[9] if len(spec) > 9 else (False,) * len(codes)
     S = len(codes)
     if w is None:
-        n0 = getp(0, P_NPOST) * jnp.ones_like(x)
+        n0 = getp(0, P_NPOST)
     else:
         if refl[0]:
             raise ValueError("object surface cannot be reflective")
@@ -224,7 +235,7 @@ def _chain(spec, getp, getc, getm, x, y, z, L, M, N, i, opd, w=None):
             s, codes[s], refl[s], tilted[s], auxes[s], getp, getc, nc,
             state, newton_iters,
             formula=formulas[s] if w is not None else None,
-            getm=getm, nm=nm,
+            getm=getm, nm=nm, has_absorption=has_abs, inner=inner[s],
         )
     return state[:8]
 
@@ -238,9 +249,13 @@ def _spec_of(system, newton_iters, poly):
     nc = int(system.stack.coeffs.shape[1])
     formulas = tuple(cfg.mat_formulas) if poly else (None,) * cfg.num_surfaces
     nm = int(system.stack.mat_coeffs.shape[1]) if poly else 0
+    inner = tuple(
+        a is not None and float(getattr(a, "r_min", 0.0)) > 0.0
+        for a in (cfg.apertures or (None,) * cfg.num_surfaces)
+    )
     return (
         tuple(cfg.geom_codes), tuple(cfg.reflective), tilted, auxes, nc,
-        newton_iters, formulas, nm,
+        newton_iters, formulas, nm, bool(cfg.has_absorption), inner,
     )
 
 
@@ -463,18 +478,286 @@ def _pallas_bwd(params, coeffs, mats, inputs, cotangents, spec, poly):
 
 
 # ---------------------------------------------------------------------------
+# Fused generate+trace kernels ("field" variant)
+#
+# For an infinite-conjugate system with angle fields (the reference's default
+# configuration, rays/ray_aiming/paraxial.py:33-106), the entire launch
+# bundle for one field is an affine map of the pupil samples:
+#     x0 = sx*Px + x00,  y0 = sy*Py + y00,  z0/L/M/N constant scalars.
+# These kernels take only (Px, Py) per ray plus an 8-scalar "aim" vector in
+# SMEM and build the launch state in-kernel, removing every raygen HBM
+# round-trip (8 arrays of launch state + the aiming intermediates). The
+# backward kernel consequently emits NO per-ray gradients — pupil samples
+# carry no cotangent — only the accumulated scalar block for
+# params/coeffs/aim, making the adjoint write traffic ~zero.
+# ---------------------------------------------------------------------------
+
+N_AIM = 8
+A_X0, A_Y0, A_Z0, A_L, A_M, A_N, A_SX, A_SY = range(N_AIM)
+
+
+def aim_vector(system, Hx, Hy):
+    """Differentiable 8-scalar launch descriptor for one (Hx, Hy) field of an
+    infinite-conjugate angle-field system (the closed-form aim of
+    core.raygen.aim_rays_paraxial specialized to scalar H)."""
+    from optiland_tpu.core import paraxial, raygen
+    from optiland_tpu.core.system import positions
+
+    Hx = jnp.asarray(Hx)
+    Hy = jnp.asarray(Hy)
+    vxf, vyf = raygen.get_vig_factor(system, Hx, Hy)
+    vx, vy = 1.0 - vxf, 1.0 - vyf
+    epl, epd = paraxial.pupil_scalars(system)
+    fx, fy = system.field_x, system.field_y
+    max_field = jnp.max(jnp.sqrt(fx**2 + fy**2))
+    pos = positions(system.stack)
+    offset = epd - jnp.min(pos[1:-1])
+    x00 = -jnp.tan(jnp.radians(max_field * Hx)) * (offset + epl)
+    y00 = -jnp.tan(jnp.radians(max_field * Hy)) * (offset + epl)
+    z0 = pos[1] - offset
+    dz = epl - z0
+    mag = jnp.sqrt(x00**2 + y00**2 + dz**2)
+    bad = mag < 1e-9
+    mag = jnp.where(bad, 1.0, mag)
+    L = jnp.where(bad, 0.0, -x00 / mag)
+    M = jnp.where(bad, 0.0, -y00 / mag)
+    N = jnp.where(bad, 1.0, dz / mag)
+    return jnp.stack(
+        [x00, y00, z0, L, M, N, epd / 2 * vx, epd / 2 * vy]
+    )
+
+
+def _launch_from_pupil(geta, Px, Py):
+    x = Px * geta(A_SX) + geta(A_X0)
+    y = Py * geta(A_SY) + geta(A_Y0)
+    z = jnp.full_like(Px, geta(A_Z0))
+    L = jnp.full_like(Px, geta(A_L))
+    M = jnp.full_like(Px, geta(A_M))
+    N = jnp.full_like(Px, geta(A_N))
+    return x, y, z, L, M, N, jnp.ones_like(Px), jnp.zeros_like(Px)
+
+
+def _make_fwd_kernel_field(spec):
+    def kernel(*refs):
+        params_ref, coeffs_ref, mats_ref, aim_ref = refs[:4]
+        px_ref, py_ref = refs[4], refs[5]
+        out_refs = refs[6:]
+        getp = lambda s, col: params_ref[s, col]
+        getc = lambda s, ci: coeffs_ref[s, ci]
+        getm = lambda s, mi: mats_ref[s, mi]
+        geta = lambda j: aim_ref[j]
+        launch = _launch_from_pupil(geta, px_ref[:], py_ref[:])
+        out = _chain(spec, getp, getc, getm, *launch)
+        for ref, val in zip(out_refs, out):
+            ref[:] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _pallas_fwd_field(params, coeffs, mats, aim, Px, Py, spec):
+    arrs, R = _pad_ray_arrays([Px, Py], TILE_ROWS_FWD, ones_idx=())
+    rows = arrs[0].shape[0]
+    grid = (rows // TILE_ROWS_FWD,)
+    dtype = arrs[0].dtype
+
+    ray_spec = pl.BlockSpec(
+        (TILE_ROWS_FWD, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(8)]
+    kernel = _make_fwd_kernel_field(spec)
+    interpret = jax.default_backend() == "cpu"
+    with mosaic_compile_ctx(interpret):
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+            + [ray_spec] * 2,
+            out_specs=[ray_spec] * 8,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coeffs, mats, aim, *arrs)
+    return tuple(o.reshape(-1)[:R] for o in outs)
+
+
+def _make_bwd_kernel_field(spec, rows_dp):
+    S = len(spec[0])
+    nc = spec[4]
+    n_param = S * NUM_P
+    n_coeff = S * nc
+
+    def kernel(*refs):
+        params_ref, coeffs_ref, mats_ref, aim_ref = refs[:4]
+        px_ref, py_ref = refs[4], refs[5]
+        cot_refs = refs[6:14]
+        dp_ref = refs[14]
+
+        pvals = tuple(
+            params_ref[s, c] for s in range(S) for c in range(NUM_P)
+        )
+        cvals = tuple(
+            coeffs_ref[s, ci] for s in range(S) for ci in range(nc)
+        )
+        avals = tuple(aim_ref[j] for j in range(N_AIM))
+
+        def fwd_vals(pv, cv, av, Px, Py):
+            getp = lambda s, col: pv[s * NUM_P + col]
+            getc = lambda s, ci: cv[s * nc + ci]
+            geta = lambda j: av[j]
+            launch = _launch_from_pupil(geta, Px, Py)
+            return _chain(spec, getp, getc, lambda s, mi: 0.0, *launch)
+
+        _, vjp = jax.vjp(fwd_vals, pvals, cvals, avals, px_ref[:], py_ref[:])
+        cot = tuple(r[:] for r in cot_refs)
+        dpv, dcv, dav, _dPx, _dPy = vjp(cot)
+
+        g = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_dp, LANE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows_dp, LANE), 1)
+        lin = rows * LANE + cols
+        acc = jnp.zeros((rows_dp, LANE), dtype=cot[0].dtype)
+        for idx, v in enumerate(dpv):
+            acc = jnp.where(lin == idx, v, acc)
+        for jdx, v in enumerate(dcv):
+            acc = jnp.where(lin == n_param + jdx, v, acc)
+        for kdx, v in enumerate(dav):
+            acc = jnp.where(lin == n_param + n_coeff + kdx, v, acc)
+
+        @pl.when(g == 0)
+        def _():
+            dp_ref[:] = acc
+
+        @pl.when(g > 0)
+        def _():
+            dp_ref[:] = dp_ref[:] + acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _pallas_bwd_field(params, coeffs, mats, aim, Px, Py, cotangents, spec):
+    S = len(spec[0])
+    nc = spec[4]
+    total = S * (NUM_P + nc) + N_AIM
+    rows_dp = max(8, -(-(-(-total // LANE)) // 8) * 8)  # ceil to 8-row block
+    arrs, _R = _pad_ray_arrays(
+        [Px, Py] + list(cotangents), TILE_ROWS_BWD, ones_idx=()
+    )
+    rows = arrs[0].shape[0]
+    grid = (rows // TILE_ROWS_BWD,)
+    dtype = arrs[0].dtype
+
+    ray_spec = pl.BlockSpec(
+        (TILE_ROWS_BWD, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    dp_spec = pl.BlockSpec(
+        (rows_dp, LANE), lambda g: (0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = _make_bwd_kernel_field(spec, rows_dp)
+    interpret = jax.default_backend() == "cpu"
+    with mosaic_compile_ctx(interpret):
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+            + [ray_spec] * len(arrs),
+            out_specs=dp_spec,
+            out_shape=jax.ShapeDtypeStruct((rows_dp, LANE), dtype),
+            interpret=interpret,
+        )(params, coeffs, mats, aim, *arrs)
+    flat = out.reshape(-1)
+    dparams = flat[: S * NUM_P].reshape(S, NUM_P)
+    dcoeffs = flat[S * NUM_P : S * (NUM_P + nc)].reshape(S, nc)
+    daim = flat[S * (NUM_P + nc) : S * (NUM_P + nc) + N_AIM]
+    return dparams, dcoeffs, daim
+
+
+def pallas_field_supported(system) -> bool:
+    """True when trace_fast_field covers this system (fused gen+trace)."""
+    cfg = system.cfg
+    return (
+        pallas_supported(system)
+        and cfg.field_type == "angle"
+        and bool(cfg.obj_infinite)
+        and not getattr(cfg, "obj_telecentric", False)
+    )
+
+
+def trace_fast_field(system, Hx, Hy, Px, Py, wavelength,
+                     newton_iters: int = 10):
+    """Fused generate+trace Pallas kernel for one (Hx, Hy) field.
+
+    Equivalent to generate_rays(...) followed by trace_fast(...) for
+    infinite-conjugate angle-field systems (pallas_field_supported), but the
+    launch state is built in-kernel from 8 SMEM scalars, so the only per-ray
+    HBM inputs are the pupil samples and the adjoint writes no per-ray
+    gradients at all (reference analog: the generation+trace pipeline of
+    raytrace/real_ray_tracer.py:58-118).
+    """
+    from optiland_tpu.core.rays import RealRays
+
+    spec = _spec_of(system, newton_iters, poly=False)
+    params = build_param_table(system, wavelength)
+    aim = aim_vector(system, Hx, Hy)
+
+    dt = jnp.asarray(Px).dtype
+    if jax.default_backend() != "cpu" and dt == jnp.float64:
+        dt = jnp.float32
+    S = system.cfg.num_surfaces
+    coeffs = system.stack.coeffs.astype(dt)
+    if coeffs.shape[1] == 0:
+        coeffs = jnp.zeros((S, 1), dt)
+    mats = jnp.zeros((S, 1), dt)
+    params = params.astype(dt)
+    aim = aim.astype(dt)
+    Px = jnp.asarray(Px, dt)
+    Py = jnp.asarray(Py, dt)
+
+    @jax.custom_vjp
+    def _traced(params, coeffs, aim, Px, Py):
+        return _pallas_fwd_field(params, coeffs, mats, aim, Px, Py, spec=spec)
+
+    def _fwd(params, coeffs, aim, Px, Py):
+        out = _traced(params, coeffs, aim, Px, Py)
+        return out, (params, coeffs, aim, Px, Py)
+
+    def _bwd(res, g):
+        params, coeffs, aim, Px, Py = res
+        dparams, dcoeffs, daim = _pallas_bwd_field(
+            params, coeffs, mats, aim, Px, Py, tuple(g), spec=spec
+        )
+        if dcoeffs.shape != coeffs.shape:
+            dcoeffs = jnp.zeros_like(coeffs).at[
+                :, : dcoeffs.shape[1]
+            ].set(dcoeffs)
+        return (dparams, dcoeffs, daim,
+                jnp.zeros_like(Px), jnp.zeros_like(Py))
+
+    _traced.defvjp(_fwd, _bwd)
+
+    x, y, z, L, M, N, i, opd = _traced(params, coeffs, aim, Px, Py)
+    w = jnp.full_like(x, wavelength)
+    return RealRays(x=x, y=y, z=z, L=L, M=M, N=N, i=i, w=w, opd=opd)
+
+
+# ---------------------------------------------------------------------------
 # Public entry
 # ---------------------------------------------------------------------------
 
 
 def pallas_supported(system, poly: bool = False) -> bool:
     """True when the fast kernels cover this system's structure."""
+    from optiland_tpu.physical_apertures import RadialAperture
+
     cfg = system.cfg
     if cfg.interactions is not None and any(
         i is not None for i in cfg.interactions
     ):
         return False
-    if cfg.apertures is not None and any(a is not None for a in cfg.apertures):
+    if cfg.apertures is not None and any(
+        a is not None and type(a) is not RadialAperture
+        for a in cfg.apertures
+    ):
         return False
     if cfg.coatings is not None and any(c is not None for c in cfg.coatings):
         return False
@@ -489,6 +772,20 @@ def pallas_supported(system, poly: bool = False) -> bool:
         if any(f in bad_formula for f in cfg.mat_formulas):
             return False
     return all(c in OK_CODES for c in cfg.geom_codes)
+
+
+def _aperture_columns(system):
+    """(ap_max, ap_min) per surface: RadialAperture objects override the
+    stack's circular semi-aperture (matching core.trace's clip dispatch)."""
+    stack, cfg = system.stack, system.cfg
+    ap_max = stack.ap_max
+    ap_min = jnp.zeros_like(stack.ap_max)
+    if cfg.apertures is not None:
+        for s, a in enumerate(cfg.apertures):
+            if a is not None:
+                ap_max = ap_max.at[s].set(float(a.r_max))
+                ap_min = ap_min.at[s].set(float(a.r_min))
+    return ap_max, ap_min
 
 
 def build_param_table(system, wavelength):
@@ -510,11 +807,12 @@ def build_param_table(system, wavelength):
             jnp.ravel(k_of(stack.ktab[s2 - 1], wl))[0] / wl
         )
     k_pre = jnp.stack(k_rows)
+    ap_max, ap_min = _aperture_columns(system)
     params = jnp.stack(
         [
-            stack.radius, stack.conic, pos + stack.dz, n, stack.ap_max,
+            stack.radius, stack.conic, pos + stack.dz, n, ap_max,
             k_pre, stack.dx, stack.dy, stack.rx, stack.ry, stack.rz,
-            stack.geo_p1, stack.geo_p2,
+            stack.geo_p1, stack.geo_p2, ap_min,
         ],
         axis=1,
     )
@@ -532,11 +830,12 @@ def _poly_param_table(system):
     stack = system.stack
     pos = positions(stack)
     zero = jnp.zeros_like(stack.radius)
+    ap_max, ap_min = _aperture_columns(system)
     return jnp.stack(
         [
-            stack.radius, stack.conic, pos + stack.dz, zero, stack.ap_max,
+            stack.radius, stack.conic, pos + stack.dz, zero, ap_max,
             zero, stack.dx, stack.dy, stack.rx, stack.ry, stack.rz,
-            stack.geo_p1, stack.geo_p2,
+            stack.geo_p1, stack.geo_p2, ap_min,
         ],
         axis=1,
     )

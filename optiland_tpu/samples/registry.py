@@ -56,6 +56,14 @@ def build_sample(name: str) -> Optic:
         kwargs["thickness"] = _resolve_value(kwargs.get("thickness", 0.0))
         if "material" in kwargs:
             kwargs["material"] = _resolve_material(kwargs["material"])
+        ap = kwargs.get("aperture")
+        if isinstance(ap, dict) and "radial" in ap:
+            from optiland_tpu.physical_apertures import RadialAperture
+
+            kwargs["aperture"] = RadialAperture(
+                r_max=float(_resolve_value(ap["radial"]["r_max"])),
+                r_min=float(ap["radial"]["r_min"]),
+            )
         o.surfaces.add(**kwargs)
     ap = spec.get("aperture")
     if ap:

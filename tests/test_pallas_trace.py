@@ -118,12 +118,23 @@ def test_pallas_polychromatic_matches_xla():
 
 
 def test_pallas_unsupported_structures():
-    from optiland_tpu.physical_apertures import RadialAperture
+    from optiland_tpu.physical_apertures import (
+        RadialAperture, RectangularAperture,
+    )
 
+    # RadialAperture now runs in-kernel (P_APMAX/P_APMIN columns) ...
     lens = CookeTriplet()
     lens.surfaces.surfaces[1].aperture = RadialAperture(r_max=5.0)
     lens._invalidate()
-    assert not pallas_supported(lens.system)
+    assert pallas_supported(lens.system)
+
+    # ... but arbitrary aperture shapes still fall back to the XLA path
+    lens2 = CookeTriplet()
+    lens2.surfaces.surfaces[1].aperture = RectangularAperture(
+        x_min=-4.0, x_max=4.0, y_min=-3.0, y_max=3.0
+    )
+    lens2._invalidate()
+    assert not pallas_supported(lens2.system)
 
 
 def test_abcd_pupil_scalars_match_reference_path():
@@ -135,3 +146,98 @@ def test_abcd_pupil_scalars_match_reference_path():
         epl, epd = paraxial.pupil_scalars(s)
         assert_allclose(float(epl), float(paraxial.EPL(s)), rtol=1e-11)
         assert_allclose(float(epd), float(paraxial.EPD(s)), rtol=1e-11)
+
+
+def test_field_kernel_matches_xla_forward():
+    """Fused generate+trace kernel == generate_rays + XLA trace."""
+    from optiland_tpu.ops.pallas_trace import (
+        pallas_field_supported, trace_fast_field,
+    )
+
+    lens = CookeTriplet()
+    system = lens.system
+    assert pallas_field_supported(system)
+    n = 300
+    rng = np.random.default_rng(3)
+    r = np.sqrt(rng.uniform(size=n)) * 0.95
+    th = rng.uniform(0, 2 * np.pi, n)
+    Px = jnp.asarray(r * np.cos(th))
+    Py = jnp.asarray(r * np.sin(th))
+    Hx, Hy = 0.0, 0.7
+    rays = raygen.generate_rays(
+        system, jnp.zeros(n), jnp.full((n,), Hy), Px, Py, 0.55
+    )
+    ref, _ = xla_trace.trace(system, rays, record=False)
+    out = trace_fast_field(system, Hx, Hy, Px, Py, 0.55)
+    for name in ("x", "y", "z", "L", "M", "N", "i", "opd"):
+        assert_allclose(
+            getattr(out, name), getattr(ref, name), rtol=1e-9, atol=1e-11
+        )
+
+
+def test_field_kernel_gradients_match_xla():
+    """Adjoint of the fused kernel == AD through generate_rays + XLA trace,
+    including the aiming chain (pupil scalars are functions of the stack)."""
+    import dataclasses
+
+    from optiland_tpu.ops.pallas_trace import trace_fast_field
+
+    system = CookeTriplet().system
+    # open the tilt gate in both paths so rx/ry/rz gradients are exercised
+    system = system.replace(
+        cfg=dataclasses.replace(system.cfg, has_tilts=True)
+    )
+    n = 96
+    rng = np.random.default_rng(4)
+    r = np.sqrt(rng.uniform(size=n)) * 0.9
+    th = rng.uniform(0, 2 * np.pi, n)
+    Px = jnp.asarray(r * np.cos(th))
+    Py = jnp.asarray(r * np.sin(th))
+    Hx, Hy = 0.0, 0.7
+
+    def merit_fast(stack):
+        f = trace_fast_field(
+            system.replace(stack=stack), Hx, Hy, Px, Py, 0.55
+        )
+        return jnp.mean(f.x**2 + f.y**2)
+
+    def merit_ref(stack):
+        sys_ = system.replace(stack=stack)
+        rr = raygen.generate_rays(
+            sys_, jnp.zeros(n), jnp.full((n,), Hy), Px, Py, 0.55
+        )
+        fin, _ = xla_trace.trace(sys_, rr, record=False)
+        return jnp.mean(fin.x**2 + fin.y**2)
+
+    gp = jax.grad(merit_fast)(system.stack)
+    gx = jax.grad(merit_ref)(system.stack)
+    for name in ("radius", "thickness", "conic", "dx", "dy", "rx", "ry"):
+        assert_allclose(
+            getattr(gp, name), getattr(gx, name), rtol=1e-7, atol=1e-10
+        )
+    # tilt gradients of the (untilted) system must be nonzero: regression
+    # for the static has_tilts gate silently zeroing them
+    assert np.abs(np.asarray(gx.rx)[1:-1]).max() > 0
+
+
+def test_pallas_radial_aperture_obscuration():
+    """Annular RadialAperture obscurations (Hubble secondary) run in-kernel:
+    clip masks and ray states match the XLA path exactly."""
+    from optiland_tpu.samples import HubbleTelescope
+
+    lens = HubbleTelescope()
+    system = lens.system
+    assert pallas_supported(system)
+    rays = _bundle(system, n=400, wl=0.55)
+    ref, _ = xla_trace.trace(system, rays, record=False)
+    fast = trace_fast(system, rays, 0.55)
+    np.testing.assert_array_equal(
+        np.asarray(fast.i) > 0, np.asarray(ref.i) > 0
+    )
+    assert (np.asarray(ref.i) == 0).any()  # obscuration actually clips
+    for name in ("x", "y", "z", "L", "M", "N", "opd"):
+        # meter-scale system: absolute tolerance reflects f64 cancellation
+        # over ~6e3 mm path lengths
+        assert_allclose(
+            getattr(fast, name), getattr(ref, name), rtol=1e-9, atol=2e-8
+        )

@@ -174,7 +174,19 @@ def translate(d: dict, optic=None) -> dict:
             row["is_stop"] = True
         apert = s.get("aperture")
         if isinstance(apert, dict) and "r_max" in apert:
-            row["aperture"] = 2 * float(apert["r_max"])
+            r_max = float(apert["r_max"])
+            r_min = float(apert.get("r_min", 0.0))
+            if r_min > 0.0 or not math.isfinite(r_max):
+                # annular obscuration (e.g. Hubble secondary): keep as a
+                # physical RadialAperture spec, not a scalar diameter
+                row["aperture"] = {
+                    "radial": {
+                        "r_max": "inf" if math.isinf(r_max) else r_max,
+                        "r_min": r_min,
+                    }
+                }
+            else:
+                row["aperture"] = 2 * r_max
         if s.get("comment"):
             row["comment"] = s["comment"]
         spec["surfaces"].append(row)
