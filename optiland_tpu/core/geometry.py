@@ -74,9 +74,13 @@ def _sag_plane(radius, conic, coeffs, p1, p2, x, y, aux=None):
 
 
 def _conic_sag(radius, conic, x2py2):
-    return x2py2 / (
-        radius * (1 + jnp.sqrt(1 - (1 + conic) * x2py2 / radius**2))
-    )
+    # Curvature form: cu = 1/R is exactly 0 for a flat (R = inf), which keeps
+    # both the forward value and its AD derivatives finite — the radius form
+    # R*(1+sqrt(...)) produces inf/inf = NaN under jvp when R = inf
+    # (reference: geometries/standard.py:80-94 uses the radius form and
+    # relies on never seeing an infinite base radius on the Newton path).
+    cu = 1.0 / radius
+    return (cu * x2py2) / (1 + jnp.sqrt(1 - (1 + conic) * cu**2 * x2py2))
 
 
 def _sag_standard(radius, conic, coeffs, p1, p2, x, y, aux=None):
@@ -347,9 +351,10 @@ def _normal_plane(x_like):
 
 def _normal_standard(radius, conic, x, y):
     r2 = x**2 + y**2
-    denom = radius * jnp.sqrt(1 - (1 + conic) * r2 / radius**2)
-    dfdx = x / denom
-    dfdy = y / denom
+    cu = 1.0 / radius
+    inv_denom = cu / jnp.sqrt(1 - (1 + conic) * cu**2 * r2)
+    dfdx = x * inv_denom
+    dfdy = y * inv_denom
     mag = jnp.sqrt(dfdx**2 + dfdy**2 + 1)
     return dfdx / mag, dfdy / mag, -1.0 / mag
 
@@ -362,9 +367,10 @@ def _normal_chebyshev(radius, conic, coeffs, p1, p2, x, y):
     xn = x / p1
     yn = y / p2
     r2 = x**2 + y**2
-    denom = radius * jnp.sqrt(1 - (1 + conic) * r2 / radius**2)
-    dzdx = x / denom
-    dzdy = y / denom
+    cu = 1.0 / radius
+    inv_denom = cu / jnp.sqrt(1 - (1 + conic) * cu**2 * r2)
+    dzdx = x * inv_denom
+    dzdy = y * inv_denom
     side = int(math.isqrt(coeffs.shape[0]))
     if side * side < coeffs.shape[0]:
         side += 1
@@ -423,20 +429,28 @@ def _distance_plane(x, y, z, L, M, N):
 def _distance_standard(radius, conic, x, y, z, L, M, N):
     """Closed-form conic intersection, choosing the root nearest the vertex
     plane (reference: geometries/standard.py:96-148)."""
+    # Curvature form (all coefficients scaled by cu = 1/R relative to the
+    # reference's): identical roots for finite R, and degrades smoothly to
+    # the plane equation -2*N*t - 2*z = 0 when R = inf (cu = 0) instead of
+    # producing inf - inf = NaN.
     k = conic
-    a = k * N**2 + L**2 + M**2 + N**2
-    b = 2 * k * N * z + 2 * L * x + 2 * M * y - 2 * N * radius + 2 * N * z
-    c = k * z**2 - 2 * radius * z + x**2 + y**2 + z**2
+    cu = 1.0 / radius
+    a = cu * (k * N**2 + L**2 + M**2 + N**2)
+    b = 2 * (cu * (k * N * z + L * x + M * y + N * z) - N)
+    c = cu * (k * z**2 + x**2 + y**2 + z**2) - 2 * z
     d = b**2 - 4 * a * c
     sqrt_d = jnp.sqrt(jnp.maximum(d, 0.0))
     sqrt_d = jnp.where(d < 0, jnp.nan, sqrt_d)
+    # Citardauq-stable root pair: q/a and c/q; c/q stays finite as a -> 0.
+    s = jnp.where(b >= 0, 1.0, -1.0)
+    q = -0.5 * (b + s * sqrt_d)
+    q_safe = jnp.where(q == 0, 1.0, q)
     a_safe = jnp.where(a == 0, 1.0, a)
-    t1 = (-b + sqrt_d) / (2 * a_safe)
-    t2 = (-b - sqrt_d) / (2 * a_safe)
+    t1 = jnp.where(a == 0, jnp.inf, q / a_safe)
+    t2 = jnp.where(q == 0, 0.0, c / q_safe)
     z1 = z + t1 * N
     z2 = z + t2 * N
-    t = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
-    return jnp.where(a == 0, -c / b, t)
+    return jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
 
 
 def distance_static(
