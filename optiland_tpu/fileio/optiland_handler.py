@@ -66,12 +66,14 @@ def optic_to_dict(optic: Optic) -> dict:
             "type": optic.fields.field_type,
             "telecentric": optic.fields.telecentric,
             "points": [
-                {"x": f.x, "y": f.y, "vx": f.vx, "vy": f.vy}
+                {"x": f.x, "y": f.y, "vx": f.vx, "vy": f.vy,
+                 "weight": f.weight}
                 for f in optic.fields.fields
             ],
         },
         "wavelengths": [
-            {"value": w.value, "is_primary": w.is_primary}
+            {"value": w.value, "is_primary": w.is_primary,
+             "weight": w.weight}
             for w in optic.wavelengths.wavelengths
         ],
         "polarization": optic.polarization,
@@ -141,10 +143,13 @@ def optic_from_dict(data: dict) -> Optic:
     fdata = data.get("fields", {})
     optic.fields.set_type(fdata.get("type", "angle"))
     for p in fdata.get("points", []):
-        optic.fields.add(x=p["x"], y=p["y"], vx=p.get("vx", 0), vy=p.get("vy", 0))
+        optic.fields.add(x=p["x"], y=p["y"], vx=p.get("vx", 0),
+                         vy=p.get("vy", 0), weight=p.get("weight", 1.0))
     optic.fields.telecentric = fdata.get("telecentric", False)
     for w in data.get("wavelengths", []):
-        optic.wavelengths.add(value=w["value"], is_primary=w.get("is_primary", False))
+        optic.wavelengths.add(value=w["value"],
+                              is_primary=w.get("is_primary", False),
+                              weight=w.get("weight", 1.0))
     optic.polarization = data.get("polarization", "ignore")
     return optic
 

@@ -257,6 +257,19 @@ class Field:
     y: float = 0.0
     vx: float = 0.0
     vy: float = 0.0
+    weight: float = 1.0
+
+    def __setattr__(self, name, value):
+        # Relative importance for weighted contexts; 0.0 excludes the field
+        # (reference: fields/field.py:30-47 validates on both construction
+        # and assignment).
+        if name == "weight":
+            if value < 0:
+                raise ValueError(
+                    f"Field weight must be non-negative, got {value}."
+                )
+            value = float(value)
+        object.__setattr__(self, name, value)
 
 
 class FieldGroup:
@@ -274,9 +287,21 @@ class FieldGroup:
         self.field_type = field_type
         self._optic._invalidate()
 
-    def add(self, x: float = 0.0, y: float = 0.0, vx: float = 0.0, vy: float = 0.0):
-        self.fields.append(Field(x=x, y=y, vx=vx, vy=vy))
+    def add(
+        self,
+        x: float = 0.0,
+        y: float = 0.0,
+        vx: float = 0.0,
+        vy: float = 0.0,
+        weight: float = 1.0,
+    ):
+        self.fields.append(Field(x=x, y=y, vx=vx, vy=vy, weight=weight))
         self._optic._invalidate()
+
+    @property
+    def weights(self) -> tuple:
+        """Per-field weights (reference: fields/field_group.py weights)."""
+        return tuple(f.weight for f in self.fields)
 
     def set_telecentric(self, telecentric: bool):
         self.telecentric = telecentric
@@ -315,6 +340,16 @@ class FieldGroup:
 class Wavelength:
     value: float
     is_primary: bool = False
+    weight: float = 1.0
+
+    def __setattr__(self, name, value):
+        if name == "weight":
+            if value < 0:
+                raise ValueError(
+                    f"Wavelength weight must be non-negative, got {value}."
+                )
+            value = float(value)
+        object.__setattr__(self, name, value)
 
 
 class WavelengthGroup:
@@ -324,10 +359,23 @@ class WavelengthGroup:
         self._optic = optic
         self.wavelengths: list[Wavelength] = []
 
-    def add(self, value: float, is_primary: bool = False, unit: str = "um"):
+    def add(
+        self,
+        value: float,
+        is_primary: bool = False,
+        unit: str = "um",
+        weight: float = 1.0,
+    ):
         scale = {"nm": 1e-3, "um": 1.0, "mm": 1e3}[unit]
-        self.wavelengths.append(Wavelength(value * scale, is_primary))
+        self.wavelengths.append(
+            Wavelength(value * scale, is_primary, weight=weight)
+        )
         self._optic._invalidate()
+
+    @property
+    def weights(self) -> tuple:
+        """Per-wavelength weights (reference: wavelength.py weights)."""
+        return tuple(w.weight for w in self.wavelengths)
 
     @property
     def primary_index(self) -> int:
@@ -600,8 +648,10 @@ class Optic:
                 s.radius *= scale_factor
             if np.isfinite(s.thickness):
                 s.thickness *= scale_factor
-            if s.aperture is not None:
+            if isinstance(s.aperture, (int, float)):
                 s.aperture *= scale_factor
+            elif s.aperture is not None:
+                s.aperture.scale(scale_factor)
         if self.aperture and self.aperture.ap_type == "EPD":
             self.aperture = Aperture("EPD", self.aperture.value * scale_factor)
         self._invalidate()
@@ -625,8 +675,13 @@ class Optic:
         # reverse element order; radii change sign; thickness shifts by one
         thicknesses = [s.thickness for s in inner]
         new_inner = list(reversed(inner))
+        # material[j] is the medium AFTER inner surface j; after reversal the
+        # medium after new surface i is the medium BEFORE old surface
+        # (m-1-i), i.e. reversed(mats[:-1]) with image space appended
+        # (assumes air object/image space, like the reference's
+        # surface_group.py:458-552 flip).
         mats = [s.material for s in inner]
-        new_mats = ["air"] + list(reversed(mats))[:-1] if mats else []
+        new_mats = list(reversed(mats[:-1])) + ["air"] if mats else []
         for i, s in enumerate(new_inner):
             if np.isfinite(s.radius):
                 s.radius = -s.radius

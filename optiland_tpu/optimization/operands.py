@@ -327,7 +327,19 @@ class Operand:
     def _compile_inputs(self):
         """Turn distribution specs into concrete pupil arrays."""
         d = self.input_data
-        d.pop("optic", None)  # the system is supplied at evaluation time
+        # The system pytree is supplied at evaluation time; the builder is
+        # kept only for field/wavelength weight lookup.
+        self._optic = d.pop("optic", None)
+        # Integer field/wavelength entries are weight-lookup indices, not
+        # operand-function inputs (reference: operand/operand.py:235-277 —
+        # effective_weight treats int-typed entries as indices into the
+        # optic's field/wavelength lists).
+        self._field_idx = None
+        self._wl_idx = None
+        if type(d.get("field")) is int:
+            self._field_idx = d.pop("field")
+        if type(d.get("wavelength")) is int:
+            self._wl_idx = d.pop("wavelength")
         if "num_rays" in d or "distribution" in d:
             num_rays = d.pop("num_rays", 100)
             dist_name = d.pop("distribution", "hexapolar")
@@ -354,6 +366,29 @@ class Operand:
         hi = 0.0 if self.max_val is None else jnp.maximum(0.0, v - self.max_val)
         return lo + hi
 
+    def effective_weight(self, optic=None) -> float:
+        """operand.weight x field_weight x wavelength_weight
+        (reference: operand/operand.py:235-277). Falls back to the optic
+        captured from input_data; raw coordinates default to weight 1."""
+        optic = optic if optic is not None else self._optic
+        field_w = 1.0
+        wl_w = 1.0
+        if optic is not None:
+            if self._field_idx is not None:
+                try:
+                    field_w = optic.fields.fields[self._field_idx].weight
+                except IndexError:
+                    pass
+            if self._wl_idx is not None:
+                try:
+                    wl_w = optic.wavelengths.wavelengths[self._wl_idx].weight
+                except IndexError:
+                    pass
+        return self.weight * field_w * wl_w
+
     def fun(self, system):
-        """Weighted squared contribution (reference: problem.py:141-151)."""
-        return self.weight * self.delta(system) ** 2
+        """Weighted squared contribution: effective_weight x delta^2
+        (reference: problem.py:141-166). The effective weight is a static
+        Python float, so it is baked into the jitted merit — changing field
+        or wavelength weights afterwards requires rebuilding the problem."""
+        return self.effective_weight() * self.delta(system) ** 2

@@ -76,7 +76,23 @@ class OptimizationProblem:
     # ------------------------------------------------------------------
 
     def _base_system(self):
-        return self.optic.system
+        system = self.optic.system
+        # Rotation work in the trace is statically gated by cfg.has_tilts
+        # (set at build time from concrete tilt values). A tilt variable on
+        # an as-yet-untilted system must force the gate open, else updates
+        # and gradients through rx/ry/rz would be silently dropped.
+        if not system.cfg.has_tilts:
+            from optiland_tpu.optimization.variables import TiltVariable
+
+            if any(
+                isinstance(v.behavior, TiltVariable) for v in self.variables
+            ):
+                import dataclasses
+
+                system = system.replace(
+                    cfg=dataclasses.replace(system.cfg, has_tilts=True)
+                )
+        return system
 
     def apply_variables(self, system, x):
         """Pure function mapping optimizer vector x into a system."""
@@ -107,7 +123,8 @@ class OptimizationProblem:
         def residuals(base, x):
             system = self.apply_variables(base, x)
             return jnp.stack(
-                [jnp.sqrt(op.weight) * op.delta(system) for op in self.operands]
+                [jnp.sqrt(op.effective_weight()) * op.delta(system)
+                 for op in self.operands]
             )
 
         j_merit = jax.jit(merit)
@@ -187,7 +204,8 @@ class OptimizationProblem:
         values = [float(op.value(system)) for op in self.operands]
         deltas = [float(op.delta(system)) for op in self.operands]
         contribs = [
-            op.weight * d**2 for op, d in zip(self.operands, deltas)
+            op.effective_weight() * d**2
+            for op, d in zip(self.operands, deltas)
         ]
         total = sum(contribs)
         df = pd.DataFrame(
@@ -208,6 +226,9 @@ class OptimizationProblem:
                     for op in self.operands
                 ],
                 "Weight": [op.weight for op in self.operands],
+                "Eff. Weight": [
+                    op.effective_weight() for op in self.operands
+                ],
                 "Value": [f"{v:+.4g}" for v in values],
                 "Delta": [f"{d:+.4g}" for d in deltas],
                 "Contrib. [%]": [
