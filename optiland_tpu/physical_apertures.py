@@ -52,6 +52,18 @@ class BaseAperture:
     def to_dict(self):
         return {"type": type(self).__name__}
 
+    @classmethod
+    def from_dict(cls, data: dict) -> "BaseAperture":
+        """Rebuild an aperture from its dict form via the subclass registry
+        (reference: base.py:104-115). Boolean composites rebuild both
+        operands recursively."""
+        ap_type = data["type"]
+        target = BaseAperture._registry[ap_type]
+        if issubclass(target, UnionAperture):
+            return target(cls.from_dict(data["a"]), cls.from_dict(data["b"]))
+        kwargs = {k: v for k, v in data.items() if k != "type"}
+        return target(**kwargs)
+
 
 class RadialAperture(BaseAperture):
     """Annular r_min <= r <= r_max aperture (reference: radial.py:31)."""
@@ -88,6 +100,11 @@ class OffsetRadialAperture(RadialAperture):
 
     def contains(self, x, y):
         return super().contains(x - self.offset_x, y - self.offset_y)
+
+    @property
+    def extent(self):
+        return (-self.r_max + self.offset_x, self.r_max + self.offset_x,
+                -self.r_max + self.offset_y, self.r_max + self.offset_y)
 
     def to_dict(self):
         return {**super().to_dict(), "offset_x": self.offset_x,
@@ -191,6 +208,12 @@ class FileAperture(PolygonAperture):
                              skip_header=skip_header)
         super().__init__(data[:, 0], data[:, 1])
         self.filepath = filepath
+        self.delimiter = delimiter
+        self.skip_header = skip_header
+
+    def to_dict(self):
+        return {"type": type(self).__name__, "filepath": self.filepath,
+                "delimiter": self.delimiter, "skip_header": self.skip_header}
 
 
 class UnionAperture(BaseAperture):
@@ -211,6 +234,10 @@ class UnionAperture(BaseAperture):
     def scale(self, factor):
         self.a.scale(factor)
         self.b.scale(factor)
+
+    def to_dict(self):
+        return {**super().to_dict(), "a": self.a.to_dict(),
+                "b": self.b.to_dict()}
 
 
 class IntersectionAperture(UnionAperture):

@@ -113,23 +113,35 @@ class MarginalRayAngleCurvatureSolve(BaseSolve):
     def apply(self):
         from optiland_tpu.core.system import n_all
 
-        if self.ray == "marginal":
-            y, u = self.optic.paraxial.marginal_ray()
-        else:
-            y, u = self.optic.paraxial.chief_ray()
-        y = np.ravel(np.asarray(y))
-        u = np.ravel(np.asarray(u))
-        system = self.optic.system
-        n = np.asarray(n_all(system.stack, system.cfg, system.primary_wavelength))
+        # Iterative: changing the curvature moves the ray path itself (the
+        # chief ray must still pass through the stop; the marginal ray is
+        # re-normalized to the system aperture), so one Newton step of the
+        # paraxial refraction equation is not exact
+        # (reference: solves/curvature.py:183-220 iterates 50x).
         i = self.surface_idx
-        u_in = u[0] if i == 0 else u[i - 1]
-        n_pre, n_post = n[i - 1], n[i]
-        delta_n = n_post - n_pre
-        if delta_n == 0 or y[i] == 0:
-            return
-        c = (n_pre * u_in - n_post * self.angle) / (y[i] * delta_n)
-        self.optic.surfaces.surfaces[i].radius = float(1.0 / c) if c != 0 else np.inf
-        self.optic._invalidate()
+        for _ in range(50):
+            if self.ray == "marginal":
+                y, u = self.optic.paraxial.marginal_ray()
+            else:
+                y, u = self.optic.paraxial.chief_ray()
+            y = np.ravel(np.asarray(y))
+            u = np.ravel(np.asarray(u))
+            u_in = u[0] if i == 0 else u[i - 1]
+            if abs(u[i] - self.angle) < 1e-12:
+                break
+            system = self.optic.system
+            n = np.asarray(
+                n_all(system.stack, system.cfg, system.primary_wavelength)
+            )
+            n_pre, n_post = n[i - 1], n[i]
+            delta_n = n_post - n_pre
+            if delta_n == 0 or y[i] == 0:
+                return
+            c = (n_pre * u_in - n_post * self.angle) / (y[i] * delta_n)
+            self.optic.surfaces.surfaces[i].radius = (
+                float(1.0 / c) if c != 0 else np.inf
+            )
+            self.optic._invalidate()
 
 
 class ChiefRayAngleCurvatureSolve(MarginalRayAngleCurvatureSolve):

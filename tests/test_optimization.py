@@ -329,3 +329,27 @@ def test_generic_variable_behavior():
     initial = float(problem.sum_squared())
     res = OptimizerGeneric(problem).optimize(maxiter=40)
     assert res.fun < initial
+
+
+def test_tilt_variable_opens_tilt_gate():
+    """A tilt variable on an untilted system must affect the trace: the
+    static has_tilts gate is forced open by the problem (regression)."""
+    import jax.numpy as jnp
+
+    from optiland_tpu.optimization.problem import OptimizationProblem
+
+    lens = CookeTriplet()
+    problem = OptimizationProblem(lens)
+    problem.add_variable(lens, "tilt", surface_number=2, axis="x")
+    problem.add_operand(
+        "rms_spot_size",
+        target=0.0,
+        input_data={
+            "optic": lens, "Hx": 0.0, "Hy": 0.7,
+            "num_rays": 24, "wavelength": 0.55, "distribution": "hexapolar",
+        },
+    )
+    assert problem._base_system().cfg.has_tilts
+    g = problem._build()["grad"](jnp.asarray(problem.initial_x()))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
