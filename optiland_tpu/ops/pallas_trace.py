@@ -63,6 +63,21 @@ from optiland_tpu.core import geometry as geom
 from optiland_tpu.materials import dispersion
 
 TILE_ROWS_FWD = 512  # rows of 128 lanes per program: 64k rays/tile
+
+
+def _tile_rows(num_rays: int, cap: int) -> int:
+    """Tile height for a bundle of ``num_rays``.
+
+    Interpret mode (CPU tests / the multichip dryrun) shrinks the tile (to
+    a multiple of the 8-sublane f32 tiling) so tiny bundles don't simulate
+    almost-entirely-padding 64k-ray blocks. On real TPU the tile stays at
+    ``cap``: padding a small bundle costs microseconds there, while every
+    distinct tile shape is a separate (relay-slow) Mosaic compile."""
+    if jax.default_backend() != "cpu":
+        return cap
+    need = -(-num_rays // LANE)  # rows of 128 lanes
+    need = -(-need // 8) * 8  # round up to the sublane multiple
+    return min(cap, max(8, need))
 # (large tiles amortize per-step DMA setup: 64->512 rows cut the measured
 # HBM-bound forward wall-clock ~18% on v5e; >=1024 can fail VMEM limits)
 TILE_ROWS_BWD = 32  # smaller tile for the adjoint (more live values)
@@ -317,15 +332,16 @@ def _pad_ray_arrays(arrays, tile_rows, ones_idx=(5,)):
 
 @functools.partial(jax.jit, static_argnames=("spec", "poly"))
 def _pallas_fwd(params, coeffs, mats, ray_arrays, spec, poly):
+    tile = _tile_rows(ray_arrays[0].shape[0], TILE_ROWS_FWD)
     arrs, R = _pad_ray_arrays(
-        ray_arrays, TILE_ROWS_FWD, ones_idx=(5, 8) if poly else (5,)
+        ray_arrays, tile, ones_idx=(5, 8) if poly else (5,)
     )
     rows = arrs[0].shape[0]
-    grid = (rows // TILE_ROWS_FWD,)
+    grid = (rows // tile,)
     dtype = arrs[0].dtype
 
     ray_spec = pl.BlockSpec(
-        (TILE_ROWS_FWD, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+        (tile, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
     )
     out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(8)]
     kernel = _make_fwd_kernel(spec, poly)
@@ -435,23 +451,24 @@ def _pallas_bwd(params, coeffs, mats, inputs, cotangents, spec, poly):
     S = len(spec[0])
     nc, nm = spec[4], spec[7]
     rows_dp = _dp_rows(spec, poly)
+    tile = _tile_rows(inputs[0].shape[0], TILE_ROWS_BWD)
     arrs, R = _pad_ray_arrays(
-        list(inputs) + list(cotangents), TILE_ROWS_BWD,
+        list(inputs) + list(cotangents), tile,
         ones_idx=(5, 8) if poly else (5,),
     )
     rows = arrs[0].shape[0]
-    grid = (rows // TILE_ROWS_BWD,)
+    grid = (rows // tile,)
     dtype = arrs[0].dtype
 
     ray_spec = pl.BlockSpec(
-        (TILE_ROWS_BWD, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+        (tile, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
     )
     dp_spec = pl.BlockSpec(
         (rows_dp, LANE), lambda g: (0, 0), memory_space=pltpu.VMEM
     )
     out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(8)]
     out_shape.append(jax.ShapeDtypeStruct((rows_dp, LANE), dtype))
-    kernel = _make_bwd_kernel(spec, poly, TILE_ROWS_BWD)
+    kernel = _make_bwd_kernel(spec, poly, tile)
     interpret = jax.default_backend() == "cpu"
     with mosaic_compile_ctx(interpret):
         outs = pl.pallas_call(
@@ -556,13 +573,14 @@ def _make_fwd_kernel_field(spec):
 
 @functools.partial(jax.jit, static_argnames=("spec",))
 def _pallas_fwd_field(params, coeffs, mats, aim, Px, Py, spec):
-    arrs, R = _pad_ray_arrays([Px, Py], TILE_ROWS_FWD, ones_idx=())
+    tile = _tile_rows(Px.shape[0], TILE_ROWS_FWD)
+    arrs, R = _pad_ray_arrays([Px, Py], tile, ones_idx=())
     rows = arrs[0].shape[0]
-    grid = (rows // TILE_ROWS_FWD,)
+    grid = (rows // tile,)
     dtype = arrs[0].dtype
 
     ray_spec = pl.BlockSpec(
-        (TILE_ROWS_FWD, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+        (tile, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
     )
     out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(8)]
     kernel = _make_fwd_kernel_field(spec)

@@ -127,18 +127,31 @@ class OptimizationProblem:
                  for op in self.operands]
             )
 
-        j_merit = jax.jit(merit)
-        j_grad = jax.jit(jax.grad(merit, argnums=1))
-        j_vg = jax.jit(jax.value_and_grad(merit, argnums=1))
-        j_res = jax.jit(residuals)
-        j_jac = jax.jit(jax.jacrev(residuals, argnums=1))
-        self._fns = {
-            "merit": lambda x: j_merit(self._base_system(), x),
-            "grad": lambda x: j_grad(self._base_system(), x),
-            "value_and_grad": lambda x: j_vg(self._base_system(), x),
-            "residuals": lambda x: j_res(self._base_system(), x),
-            "res_jac": lambda x: j_jac(self._base_system(), x),
+        # Lazy per-entry jit: each optimizer family touches only a subset
+        # (LeastSquares: residuals+jacobian; scipy/optax: value_and_grad),
+        # and tracing+compiling the unrolled f64 merit costs tens of seconds
+        # on CPU — don't pay it five times up front.
+        builders = {
+            "merit": lambda: jax.jit(merit),
+            "grad": lambda: jax.jit(jax.grad(merit, argnums=1)),
+            "value_and_grad": lambda: jax.jit(
+                jax.value_and_grad(merit, argnums=1)
+            ),
+            "residuals": lambda: jax.jit(residuals),
+            # Forward-mode: the variable vector is short (a lens has tens of
+            # free parameters) while operands can be many, so n_vars JVPs
+            # beat n_ops VJPs — and the jvp graph compiles much faster than
+            # the transposed trace.
+            "res_jac": lambda: jax.jit(jax.jacfwd(residuals, argnums=1)),
         }
+
+        class _LazyFns(dict):
+            def __missing__(inner, key):
+                fn = builders[key]()
+                inner[key] = lambda x, _fn=fn: _fn(self._base_system(), x)
+                return inner[key]
+
+        self._fns = _LazyFns()
         return self._fns
 
     # Reference-compatible evaluation API ------------------------------
