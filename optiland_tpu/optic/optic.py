@@ -537,6 +537,17 @@ class Optic:
         self.aperture = Aperture(aperture_type, value)
         self._invalidate()
 
+    def add_field(self, y: float = 0.0, x: float = 0.0, vx: float = 0.0,
+                  vy: float = 0.0, weight: float = 1.0):
+        """Convenience alias for fields.add (reference: optic.py:277)."""
+        self.fields.add(x=x, y=y, vx=vx, vy=vy, weight=weight)
+
+    def add_wavelength(self, value: float, is_primary: bool = False,
+                       unit: str = "um", weight: float = 1.0):
+        """Convenience alias for wavelengths.add (reference: optic.py:296)."""
+        self.wavelengths.add(value, is_primary=is_primary, unit=unit,
+                             weight=weight)
+
     def set_field_type(self, field_type: str):
         self.fields.set_type(field_type)
 
