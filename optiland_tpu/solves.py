@@ -156,9 +156,13 @@ class SolveFactory:
     _solve_map = {
         "quick_focus": QuickFocusSolve,
         "marginal_ray_height": MarginalRayHeightSolve,
+        "marginal_ray_height_thickness": MarginalRayHeightSolve,
         "chief_ray_height": ChiefRayHeightSolve,
+        "chief_ray_height_thickness": ChiefRayHeightSolve,
         "marginal_ray_angle": MarginalRayAngleCurvatureSolve,
+        "marginal_ray_angle_curvature": MarginalRayAngleCurvatureSolve,
         "chief_ray_angle": ChiefRayAngleCurvatureSolve,
+        "chief_ray_angle_curvature": ChiefRayAngleCurvatureSolve,
     }
 
     @staticmethod
