@@ -32,15 +32,17 @@ _CACHE = os.environ.get(
     os.path.join(os.path.expanduser("~"), ".cache", "optiland_tpu_xla"),
 )
 if _CACHE != "0":
-    os.makedirs(_CACHE, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    # One subdirectory per xdist worker: a single writer per directory
+    # means no cross-process lock is needed, no half-written reads, and —
+    # unlike the max_size+lock configuration — no lost writes (the LRU
+    # eviction bookkeeping races under concurrency and silently drops
+    # entries with "Error writing persistent compilation cache entry").
+    worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
+    cache_dir = os.path.join(_CACHE, worker)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    # Setting a max size turns on the cache's cross-process file lock —
-    # without it, concurrent test runs sharing the cache can read a
-    # half-written entry and segfault in executable deserialization
-    # (jax lru_cache.put uses a bare write_bytes).
-    jax.config.update("jax_compilation_cache_max_size", 16 * 1024**3)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -248,6 +248,7 @@ def test_nurbs_explicit_parity(goldens):
                         rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_nurbs_fitted_parity(goldens):
     """Conic-fit NURBS (A9.7 LSQ approximation) matches the reference's
     fit_surface() output."""
@@ -267,6 +268,7 @@ def test_nurbs_fitted_parity(goldens):
                         rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_nurbs_control_point_gradient():
     """Image position is differentiable w.r.t. a NURBS control point z."""
     from optiland_tpu.core import raygen, trace as tc

@@ -53,6 +53,7 @@ def test_least_squares_restores_perturbed_design():
     assert abs(lens.surfaces.surfaces[1].radius - 22.0) < 1.0
 
 
+@pytest.mark.slow
 def test_adam_decreases_merit():
     lens = _perturbed_cooke()
     problem = _spot_problem(lens)
@@ -62,6 +63,7 @@ def test_adam_decreases_merit():
     assert res.fun < initial / 10
 
 
+@pytest.mark.slow
 def test_scipy_minimize_with_exact_gradient():
     lens = _perturbed_cooke()
     problem = _spot_problem(lens)
@@ -101,6 +103,7 @@ def test_default_target_is_current_value():
     assert_allclose(float(op.delta(lens.system)), 0.0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_thickness_and_conic_variables():
     lens = _perturbed_cooke()
     problem = _spot_problem(lens)
@@ -284,6 +287,7 @@ def test_orthogonal_descent_converges_on_cooke():
     assert res.fun < initial / 10
 
 
+@pytest.mark.slow
 def test_optimizer_undo_restores_variables():
     lens = _perturbed_cooke()
     problem = _spot_problem(lens)
@@ -311,6 +315,7 @@ def test_problem_info_tables():
     )
 
 
+@pytest.mark.slow
 def test_generic_variable_behavior():
     """User-defined get/set variable (reference: variable/torch.py analog)."""
     import jax.numpy as jnp
@@ -331,6 +336,7 @@ def test_generic_variable_behavior():
     assert res.fun < initial
 
 
+@pytest.mark.slow
 def test_tilt_variable_opens_tilt_gate():
     """A tilt variable on an untilted system must affect the trace: the
     static has_tilts gate is forced open by the problem (regression)."""

@@ -36,6 +36,7 @@ def test_pallas_matches_xla_forward(cls):
         )
 
 
+@pytest.mark.slow
 def test_pallas_gradients_match_xla():
     lens = CookeTriplet()
     system = lens.system
@@ -175,6 +176,7 @@ def test_field_kernel_matches_xla_forward():
         )
 
 
+@pytest.mark.slow
 def test_field_kernel_gradients_match_xla():
     """Adjoint of the fused kernel == AD through generate_rays + XLA trace,
     including the aiming chain (pupil scalars are functions of the stack)."""
@@ -301,3 +303,28 @@ def test_adaptive_tile_small_bundle_matches_large():
     ref, _ = xla_trace.trace(system, small, record=False)
     assert_allclose(out_small.x, ref.x, rtol=1e-8, atol=1e-10)
     assert out_big.x.shape == (4000,)
+
+
+def test_pallas_gradients_match_xla_singlet():
+    """Default-suite adjoint parity on the 3-surface AsphericSinglet (the
+    full Cooke variant runs in the slow suite — interpret-mode adjoint
+    compile scales with the unrolled surface count)."""
+    lens = AsphericSinglet()
+    system = lens.system
+    rays = _bundle(system, n=300, wl=0.587)
+
+    def merit_pallas(stack):
+        f = trace_fast(system.replace(stack=stack), rays, 0.587)
+        return jnp.mean(f.x**2 + f.y**2)
+
+    def merit_xla(stack):
+        out, _ = xla_trace.trace(
+            system.replace(stack=stack), rays, record=False
+        )
+        return jnp.mean(out.x**2 + out.y**2)
+
+    gp = jax.grad(merit_pallas)(system.stack)
+    gx = jax.grad(merit_xla)(system.stack)
+    assert_allclose(gp.radius, gx.radius, rtol=1e-6, atol=1e-12)
+    assert_allclose(gp.thickness, gx.thickness, rtol=1e-6, atol=1e-12)
+    assert_allclose(gp.coeffs, gx.coeffs, rtol=1e-6, atol=1e-12)

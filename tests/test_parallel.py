@@ -77,6 +77,7 @@ def test_sharded_pallas_forward_matches(mesh, system):
     assert_allclose(out.y, np.asarray(ref.y, np.float32), rtol=0, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_gradient_matches_unsharded(mesh, system):
     """shard_map transpose psums the replicated-parameter cotangents; the
     result is bit-identical to the single-shard gradient."""

@@ -57,8 +57,10 @@ def test_sample_focal_length(name):
 
 @pytest.mark.parametrize(
     "name",
-    ["HubbleTelescope", "UVReflectingMicroscope", "WideAngle170FOV",
-     "UVProjectionLens", "NavarroWideAngleEye", "PetzvalLens"],
+    ["HubbleTelescope", "UVReflectingMicroscope",
+     pytest.param("WideAngle170FOV", marks=pytest.mark.slow),
+     pytest.param("UVProjectionLens", marks=pytest.mark.slow),
+     "NavarroWideAngleEye", "PetzvalLens"],
 )
 def test_feature_rich_samples_trace(name):
     """Mirrors, wide angles (robust aiming), telecentric object space, and
