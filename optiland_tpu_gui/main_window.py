@@ -21,9 +21,11 @@ from optiland_tpu_gui.qt import (
     Qt,
 )
 from optiland_tpu_gui.system_properties_panel import SystemPropertiesPanel
+from optiland_tpu_gui.utils import apply_plot_theme, install_logging
 from optiland_tpu_gui.viewer_panel import ViewerPanel
 from optiland_tpu_gui.widgets.command_palette import CommandPalette
 from optiland_tpu_gui.widgets.python_terminal import PythonTerminal
+from optiland_tpu_gui.widgets.sidebar import SidebarWidget
 from optiland_tpu_gui.widgets.toast import show_toast
 
 
@@ -39,6 +41,7 @@ class MainWindow(QMainWindow):
         self.palette = CommandPalette(self)
 
         self._build_panels()
+        self._build_sidebar()
         self._build_actions()
         self._build_menus()
         self.set_theme(config.DEFAULT_THEME)
@@ -46,6 +49,8 @@ class MainWindow(QMainWindow):
         self.connector.opticLoaded.connect(
             lambda: self.statusBar().showMessage("System loaded", 3000)
         )
+        # surface library warnings as toasts (reference: logging_handler.py)
+        install_logging(lambda msg: show_toast(self, msg))
 
     # ---------------- layout ----------------
 
@@ -72,6 +77,30 @@ class MainWindow(QMainWindow):
                               self.optimization_panel, right)
         self.panels.add_panel("terminal", "Console", self.terminal, bottom)
         self.panels.tabify("analysis", "optimization")
+
+    def _build_sidebar(self):
+        """Navigation rail docked on the far left (reference: sidebar.py)."""
+        self.sidebar = SidebarWidget(self)
+        _KEYMAP = {"lens_editor": "lens_editor", "viewer": None,
+                   "analysis": "analysis", "optimization": "optimization",
+                   "system": "properties", "terminal": "terminal"}
+
+        def _go(key):
+            dock_key = _KEYMAP.get(key)
+            if dock_key is None:  # viewer is the central widget
+                self.viewer_panel.setFocus()
+            else:
+                self.panels.raise_panel(dock_key)
+            self.sidebar.set_active(key)
+
+        self.sidebar.panel_requested.connect(_go)
+        bar = self.addToolBar("Navigate")
+        bar.setObjectName("sidebar_toolbar")
+        bar.setMovable(False)
+        bar.addWidget(self.sidebar)
+        from optiland_tpu_gui.qt import Qt as _Qt
+
+        self.addToolBar(_Qt.ToolBarArea.LeftToolBarArea, bar)
 
     # ---------------- actions / menus ----------------
 
@@ -178,6 +207,7 @@ class MainWindow(QMainWindow):
         app = QApplication.instance()
         if app is not None:
             app.setStyleSheet(config.get_stylesheet(name))
+        apply_plot_theme(name == "dark")
         from optiland_tpu.visualization import set_theme as set_plot_theme
 
         try:

@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 from optiland_tpu_gui.qt import QDockWidget, Qt
+from optiland_tpu_gui.widgets.docks import CustomDockWidget
 
 
 class PanelManager:
@@ -18,7 +19,7 @@ class PanelManager:
     def add_panel(self, key: str, title: str, widget, area=None):
         if area is None:
             area = Qt.DockWidgetArea.RightDockWidgetArea
-        dock = QDockWidget(title, self.window)
+        dock = CustomDockWidget(title, self.window)
         dock.setObjectName(f"dock_{key}")
         dock.setWidget(widget)
         self.window.addDockWidget(area, dock)
@@ -28,6 +29,13 @@ class PanelManager:
     def toggle(self, key: str):
         dock = self.docks[key]
         dock.setVisible(not dock.isVisible())
+
+    def raise_panel(self, key: str):
+        """Show and raise a (possibly tabified) panel — sidebar navigation
+        target (reference: panel_manager.py raise behavior)."""
+        dock = self.docks[key]
+        dock.setVisible(True)
+        dock.raise_()
 
     def get(self, key: str):
         return self.docks[key]
