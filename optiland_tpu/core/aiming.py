@@ -15,6 +15,7 @@ import functools
 import hashlib
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -147,7 +148,8 @@ def _broyden_aim(system, x, y, z, L, M, N, tx, ty, wavelength, J_factor,
     J21 = jnp.zeros_like(x)
     J22 = jnp.full_like(x, J_factor)
 
-    for _ in range(max_iter):
+    def body(carry, _):
+        x, y, L, M, ex, ey, J11, J12, J21, J22 = carry
         active = (ex**2 + ey**2) >= tol_sq
         det = J11 * J22 - J12 * J21
         det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
@@ -171,7 +173,18 @@ def _broyden_aim(system, x, y, z, L, M, N, tx, ty, wavelength, J_factor,
         J12 = J12 + jnp.where(active, Rx * dp2 / norm_sq, 0.0)
         J21 = J21 + jnp.where(active, Ry * dp1 / norm_sq, 0.0)
         J22 = J22 + jnp.where(active, Ry * dp2 / norm_sq, 0.0)
-        ex, ey = ex_new, ey_new
+        return (x, y, L, M, ex_new, ey_new, J11, J12, J21, J22), None
+
+    # lax.scan traces the stop-trace body ONCE instead of max_iter times —
+    # on CPU/f64 this cuts the aiming compile from minutes to seconds for
+    # deep systems. On TPU the remote-compile relay handles unrolled
+    # graphs far better than scans (see the project compile notes), so the
+    # scan is fully unrolled there — identical math either way.
+    unroll = max_iter if jax.default_backend() != "cpu" else 1
+    carry0 = (x, y, L, M, ex, ey, J11, J12, J21, J22)
+    (x, y, L, M, ex, ey, *_), _ = lax.scan(
+        body, carry0, None, length=max_iter, unroll=unroll
+    )
 
     err_sq = ex**2 + ey**2
     return x, y, z, L, M, N, err_sq
