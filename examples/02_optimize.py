@@ -34,8 +34,11 @@ def build_problem(lens):
         operand_type="f2", target=50.0, weight=10,
         input_data={"optic": lens},
     )
+    # Optimize curvatures rather than radii: 1/R is well-scaled near a
+    # flat, so the least-squares step cannot run away to R ~ 1e10 (the
+    # classic degenerate branch of radius-parameterized spot merits).
     for snum in (1, 2, 4, 5):
-        problem.add_variable(lens, "radius", surface_number=snum)
+        problem.add_variable(lens, "reciprocal_radius", surface_number=snum)
     return problem
 
 

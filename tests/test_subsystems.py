@@ -176,8 +176,11 @@ def test_propagation_models():
     out = model.propagate(rays, 10.0)
     assert_allclose(out.z, jnp.full((3,), 10.0))
     assert_allclose(out.opd, jnp.full((3,), 15.0))
-    with pytest.raises(NotImplementedError):
-        GRINPropagation().propagate(rays, 1.0)
+    # GRIN now implements curved-ray propagation (beyond the reference's
+    # NotImplementedError placeholder) — zero-gradient default medium must
+    # reduce to the homogeneous straight line
+    g = GRINPropagation().propagate(rays, 1.0)
+    assert_allclose(g.z, jnp.ones(3), atol=1e-12)
     d = model.to_dict()
     model2 = BasePropagationModel.from_dict(d, IdealMaterial(1.5))
     assert isinstance(model2, HomogeneousPropagation)
