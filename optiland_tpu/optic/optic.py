@@ -652,6 +652,20 @@ class Optic:
         s.coefficients = tuple(coeffs)
         self._invalidate()
 
+    @property
+    def updater(self) -> "Optic":
+        """Reference-API facade: the reference routes mutations through
+        ``optic.updater.set_radius(...) / scale_system() / flip()`` etc.
+        (reference: optic/optic_updater.py:24). Our Optic exposes the same
+        method names directly, so the facade is the optic itself."""
+        return self
+
+    def set_norm_radius(self, value: float, surface_number: int):
+        """Set a Zernike/Forbes surface's normalization radius, stored in
+        geo_p1 (reference: optic_updater.py:125)."""
+        self.surfaces.surfaces[surface_number].geo_p1 = value
+        self._invalidate()
+
     def scale_system(self, scale_factor: float):
         """Scale all lengths by a factor (reference: optic_updater.py)."""
         for s in self.surfaces.surfaces:
