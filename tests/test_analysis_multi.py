@@ -1,0 +1,96 @@
+"""Analysis regression on DoubleGauss and TessarLens — the Cooke battery
+pinned to two more designs (goldens from tools/gen_goldens_r4.py running
+the reference; reference: optiland/analysis/, psf/, mtf/)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from optiland_tpu.samples import DoubleGauss, TessarLens
+from tests.conftest import assert_allclose
+
+SAMPLES = {"dg": DoubleGauss, "tessar": TessarLens}
+
+
+@pytest.fixture(scope="module")
+def reg(goldens):
+    return goldens("analysis_multi")
+
+
+@pytest.fixture(scope="module", params=sorted(SAMPLES), ids=str)
+def lens_tag(request):
+    return SAMPLES[request.param](), request.param
+
+
+def test_spot_radii(reg, lens_tag):
+    from optiland_tpu.analysis import SpotDiagram
+
+    lens, tag = lens_tag
+    spot = SpotDiagram(lens)
+    rms = np.asarray([[float(v) for v in row]
+                      for row in spot.rms_spot_radius()])
+    geo = np.asarray([[float(v) for v in row]
+                      for row in spot.geometric_spot_radius()])
+    assert_allclose(rms, reg[f"{tag}_spot_rms"], rtol=1e-6, atol=1e-9)
+    assert_allclose(geo, reg[f"{tag}_spot_geo"], rtol=1e-6, atol=1e-9)
+
+
+def test_distortion(reg, lens_tag):
+    from optiland_tpu.analysis import Distortion
+
+    lens, tag = lens_tag
+    d = Distortion(lens, num_points=24)
+    ours = np.stack([np.ravel(np.asarray(v)) for v in d.data])
+    assert_allclose(ours, reg[f"{tag}_distortion"], rtol=1e-5, atol=1e-8)
+
+
+def test_field_curvature(reg, lens_tag):
+    from optiland_tpu.analysis import FieldCurvature
+
+    lens, tag = lens_tag
+    fc = FieldCurvature(lens, num_points=24)
+    ours = np.stack([
+        np.stack([np.ravel(np.asarray(t)) for t in pair]) for pair in fc.data
+    ])
+    assert_allclose(ours, reg[f"{tag}_field_curv"], rtol=1e-5, atol=1e-7)
+
+
+def test_rms_vs_field(reg, lens_tag):
+    from optiland_tpu.analysis import RmsSpotSizeVsField
+
+    lens, tag = lens_tag
+    rv = RmsSpotSizeVsField(lens, num_fields=16)
+    ours = np.ravel(np.asarray(rv.data["rms"]))
+    assert_allclose(ours, np.ravel(reg[f"{tag}_rms_field"]),
+                    rtol=1e-5, atol=1e-8)
+
+
+def test_strehl(reg, lens_tag):
+    from optiland_tpu.psf import FFTPSF
+
+    lens, tag = lens_tag
+    psf = FFTPSF(lens, field=(0, 0), wavelength=0.55, num_rays=64)
+    assert_allclose(float(psf.strehl_ratio()),
+                    float(reg[f"{tag}_strehl"]), rtol=1e-4)
+
+
+def test_fft_mtf(reg, lens_tag):
+    from optiland_tpu.mtf import FFTMTF
+
+    lens, tag = lens_tag
+    m = FFTMTF(lens, fields=[(0, 0)], wavelength=0.55,
+               num_rays=32, grid_size=64)
+    assert_allclose(np.asarray(m.mtf[0][0]), reg[f"{tag}_mtf_tan"],
+                    rtol=1e-4, atol=1e-6)
+    assert_allclose(np.asarray(m.mtf[0][1]), reg[f"{tag}_mtf_sag"],
+                    rtol=1e-4, atol=1e-6)
+
+
+def test_seidels(reg, lens_tag):
+    from optiland_tpu.aberrations import Aberrations
+
+    lens, tag = lens_tag
+    ours = np.ravel(np.asarray(Aberrations(lens).seidels()))
+    assert_allclose(ours, np.ravel(reg[f"{tag}_seidels"]),
+                    rtol=1e-5, atol=1e-8)

@@ -1,0 +1,84 @@
+"""Round-4 golden generation: the analysis regression battery on a SECOND
+and THIRD sample (DoubleGauss, TessarLens) so analysis parity isn't pinned
+to the Cooke triplet alone (companion to gen_goldens*.py; run the
+REFERENCE implementation and dump arrays).
+
+Usage: python tools/gen_goldens_r4.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+
+numba_stub = types.ModuleType("numba")
+numba_stub.jit = lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f))
+numba_stub.njit = numba_stub.jit
+numba_stub.prange = range
+sys.modules.setdefault("numba", numba_stub)
+sys.modules.setdefault("vtk", types.ModuleType("vtk"))
+
+sys.path.insert(0, "/root/reference")
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+
+
+def analysis_multi():
+    from optiland.analysis import (
+        Distortion,
+        FieldCurvature,
+        RmsSpotSizeVsField,
+        SpotDiagram,
+    )
+    from optiland.mtf import FFTMTF
+    from optiland.psf import FFTPSF
+    from optiland.samples.objectives import DoubleGauss, TessarLens
+
+    out = {}
+    for tag, cls in (("dg", DoubleGauss), ("tessar", TessarLens)):
+        lens = cls()
+
+        spot = SpotDiagram(lens)
+        out[f"{tag}_spot_rms"] = np.asarray(
+            [[float(v) for v in row] for row in spot.rms_spot_radius()]
+        )
+        out[f"{tag}_spot_geo"] = np.asarray(
+            [[float(v) for v in row] for row in spot.geometric_spot_radius()]
+        )
+
+        d = Distortion(lens, num_points=24)
+        out[f"{tag}_distortion"] = np.stack(
+            [np.ravel(np.asarray(v)) for v in d.data]
+        )
+
+        fc = FieldCurvature(lens, num_points=24)
+        out[f"{tag}_field_curv"] = np.stack(
+            [np.stack([np.ravel(np.asarray(t)) for t in pair])
+             for pair in fc.data]
+        )
+
+        rv = RmsSpotSizeVsField(lens, num_fields=16)
+        out[f"{tag}_rms_field"] = np.asarray(rv._spot_size)
+
+        psf = FFTPSF(lens, field=(0, 0), wavelength=0.55, num_rays=64)
+        out[f"{tag}_strehl"] = float(psf.strehl_ratio())
+
+        mtf = FFTMTF(lens, fields=[(0, 0)], wavelength=0.55,
+                     num_rays=32, grid_size=64)
+        # (tangential, sagittal) of field 0
+        out[f"{tag}_mtf_tan"] = np.asarray(mtf.mtf[0][0])
+        out[f"{tag}_mtf_sag"] = np.asarray(mtf.mtf[0][1])
+        out[f"{tag}_seidels"] = np.ravel(
+            np.asarray(lens.aberrations.seidels())
+        )
+        print(f"  {tag}: ok")
+
+    np.savez_compressed(os.path.join(OUT, "analysis_multi.npz"), **out)
+    print(f"analysis_multi.npz: {len(out)} arrays")
+
+
+if __name__ == "__main__":
+    analysis_multi()
