@@ -239,6 +239,19 @@ class SurfaceGroup:
     def __getitem__(self, i):
         return self.surfaces[i]
 
+    def __iter__(self):
+        return iter(self.surfaces)
+
+    def remove_surface(self, index: int):
+        """Delete a surface by index; object/image surfaces are protected
+        (reference: surface_group.py remove semantics)."""
+        if index <= 0 or index >= len(self.surfaces) - 1:
+            raise ValueError(
+                "Cannot remove the object or image surface."
+            )
+        self.surfaces.pop(index)
+        self._optic._invalidate()
+
     @property
     def stop_index(self) -> int:
         for i, s in enumerate(self.surfaces):
@@ -246,9 +259,41 @@ class SurfaceGroup:
                 return i
         return 1
 
+    @stop_index.setter
+    def stop_index(self, index: int):
+        """Move the stop (reference: surface_group.py:189)."""
+        for i, s in enumerate(self.surfaces):
+            s.is_stop = i == index
+        self._optic._invalidate()
+
     @property
     def num_surfaces(self) -> int:
         return len(self.surfaces)
+
+    @property
+    def radii(self):
+        """Per-surface radii of curvature (reference: surface_group.py:164)."""
+        return np.asarray([s.radius for s in self.surfaces])
+
+    @property
+    def conic(self):
+        """Per-surface conic constants (reference: surface_group.py:169)."""
+        return np.asarray([s.conic for s in self.surfaces])
+
+    @property
+    def positions(self):
+        """Cumulative z position of each surface with the object plane as
+        the datum (reference: surface_group.py:156)."""
+        from optiland_tpu.core.system import positions as _positions
+
+        return np.asarray(_positions(self._optic.system.stack))
+
+    @property
+    def total_track(self):
+        """Axial length from the first real surface to the image plane
+        (reference: surface_group.py:209)."""
+        pos = self.positions
+        return float(pos[-1] - pos[1])
 
 
 @dataclasses.dataclass

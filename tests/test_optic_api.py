@@ -291,3 +291,44 @@ def test_draw_smoke():
 def test_trace_generic_records_history(singlet):
     res = singlet.trace_generic(0.0, 0.0, 0.0, 0.0, 0.55)
     assert res is not None
+
+
+# -- SurfaceGroup conveniences -------------------------------------------------
+
+
+def test_surface_group_iter_and_len():
+    optic = CookeTriplet()
+    assert len(list(optic.surfaces)) == len(optic.surfaces)
+
+
+def test_surface_group_radii_and_conic_arrays():
+    optic = CookeTriplet()
+    r = optic.surfaces.radii
+    k = optic.surfaces.conic
+    assert r.shape == k.shape == (optic.surfaces.num_surfaces,)
+    assert r[1] == optic.surfaces.surfaces[1].radius
+
+
+def test_surface_group_positions_and_total_track():
+    optic = CookeTriplet()
+    pos = optic.surfaces.positions
+    assert (np.diff(pos[1:]) >= 0).all()
+    tt = optic.surfaces.total_track
+    assert tt == pytest.approx(float(pos[-1] - pos[1]))
+    assert tt > 40.0
+
+
+def test_surface_group_remove_surface():
+    optic = CookeTriplet()
+    n0 = optic.surfaces.num_surfaces
+    optic.surfaces.remove_surface(2)
+    assert optic.surfaces.num_surfaces == n0 - 1
+    with pytest.raises(ValueError, match="object or image"):
+        optic.surfaces.remove_surface(0)
+
+
+def test_stop_index_setter_moves_stop():
+    optic = CookeTriplet()
+    optic.surfaces.stop_index = 5
+    assert optic.surfaces.stop_index == 5
+    assert sum(s.is_stop for s in optic.surfaces) == 1
