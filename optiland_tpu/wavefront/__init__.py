@@ -263,6 +263,7 @@ def compute_wavefront_data(
                 sol = jnp.linalg.solve(AtA, Atb)
                 cx, cy, cz = sol[0], sol[1], sol[2]
                 R = jnp.sqrt(sol[3] + cx**2 + cy**2 + cz**2)
+                center_out = (cx, cy, cz)
                 opd_img = _sphere_path_length(
                     rays.x, rays.y, rays.z, rays.L, rays.M, rays.N,
                     (cx, cy, cz), R, n_image,
@@ -277,6 +278,7 @@ def compute_wavefront_data(
                 pcx = jnp.sum(wx * w) / tw
                 pcy = jnp.sum(wy * w) / tw
                 pcz = jnp.sum(wz * w) / tw
+                center_out = (pcx, pcy, pcz)
                 R = jnp.asarray(jnp.inf)
                 opd_img = _plane_path_length(
                     rays.x, rays.y, rays.z, rays.L, rays.M, rays.N,
@@ -297,7 +299,7 @@ def compute_wavefront_data(
             opd=opd_wv,
             intensity=rays.i,
             radius=R,
-            center=(cx, cy, cz) if strategy == "centroid" else _bf_center,
+            center=center_out,
             **pol_kwargs(rays, p_mat, i0),
         )
 

@@ -94,3 +94,31 @@ def test_seidels(reg, lens_tag):
     ours = np.ravel(np.asarray(Aberrations(lens).seidels()))
     assert_allclose(ours, np.ravel(reg[f"{tag}_seidels"]),
                     rtol=1e-5, atol=1e-8)
+
+
+# -- wavefront strategies on DoubleGauss (incl. best_fit) ----------------------
+
+
+@pytest.mark.parametrize("strategy", ["chief_ray", "centroid", "best_fit"])
+@pytest.mark.parametrize("fk", [0, 1])
+def test_wavefront_strategy_parity_dg(goldens, strategy, fk):
+    from optiland_tpu.wavefront import Wavefront
+
+    g = goldens("wave_dg")
+    lens = DoubleGauss()
+    fields = lens.fields.get_field_coords()
+    wf = Wavefront(lens, num_rays=6, strategy=strategy)
+    d = wf.get_data(fields[fk], 0.5876)
+    tag = f"{strategy}_{fk}"
+    # best_fit: the reference fits the sphere via unweighted lstsq on a
+    # different (equivalent) parameterization; agreement is ~1e-5 waves
+    # rather than machine precision.
+    rtol, atol = ((1e-3, 2e-5) if strategy == "best_fit"
+                  else (1e-6, 1e-9))
+    assert_allclose(np.asarray(d.opd), g[f"wf_{tag}_opd"],
+                    rtol=rtol, atol=atol)
+    assert_allclose(np.asarray(d.pupil_x), g[f"wf_{tag}_px"],
+                    rtol=1e-6, atol=1e-9)
+    assert_allclose(np.ravel(np.asarray(d.radius)),
+                    np.ravel(g[f"wf_{tag}_radius"]),
+                    rtol=1e-3 if strategy == "best_fit" else 1e-6)

@@ -26,6 +26,28 @@ sys.path.insert(0, "/root/reference")
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
 
 
+def wavefront_multi():
+    """All three reference strategies on DoubleGauss at two fields."""
+    from optiland.samples.objectives import DoubleGauss
+    from optiland.wavefront import Wavefront
+
+    lens = DoubleGauss()
+    out = {}
+    fields = lens.fields.get_field_coords()  # (0,0) and (0, 5/7) used
+    wl = 0.5876  # DoubleGauss primary (d line)
+    for strat in ("chief_ray", "centroid", "best_fit"):
+        wf = Wavefront(lens, num_rays=6, strategy=strat)
+        for k, (fx, fy) in enumerate(fields[:2]):
+            d = wf.get_data((fx, fy), wl)
+            tag = f"{strat}_{k}"
+            out[f"wf_{tag}_opd"] = np.asarray(d.opd)
+            out[f"wf_{tag}_px"] = np.asarray(d.pupil_x)
+            out[f"wf_{tag}_py"] = np.asarray(d.pupil_y)
+            out[f"wf_{tag}_radius"] = np.ravel(np.asarray(d.radius))
+    np.savez_compressed(os.path.join(OUT, "wave_dg.npz"), **out)
+    print(f"wave_dg.npz: {len(out)} arrays")
+
+
 def analysis_multi():
     from optiland.analysis import (
         Distortion,
@@ -81,4 +103,10 @@ def analysis_multi():
 
 
 if __name__ == "__main__":
-    analysis_multi()
+    import sys as _sys
+
+    sections = _sys.argv[1:] or ["analysis", "wavefront"]
+    if "analysis" in sections:
+        analysis_multi()
+    if "wavefront" in sections:
+        wavefront_multi()
