@@ -122,3 +122,34 @@ def test_wavefront_strategy_parity_dg(goldens, strategy, fk):
     assert_allclose(np.ravel(np.asarray(d.radius)),
                     np.ravel(g[f"wf_{tag}_radius"]),
                     rtol=1e-3 if strategy == "best_fit" else 1e-6)
+
+
+# -- polarized reflective trace (Hubble) ----------------------------------------
+
+
+@pytest.mark.parametrize("pol", ["unpolarized", "H", "RCP"])
+def test_polarized_mirror_trace_parity(goldens, pol):
+    """Reflection p-matrices vs the reference through a two-mirror system
+    (reference: rays/polarized_rays.py reflection branch)."""
+    from optiland_tpu.polarization import create_polarization
+    from optiland_tpu.samples import HubbleTelescope
+
+    g = goldens("pol_mirror")
+    lens = HubbleTelescope()
+    lens.set_polarization(create_polarization(pol))
+    rays = lens.trace(Hx=0, Hy=0.7, wavelength=0.55, num_rays=5)
+    assert_allclose(np.asarray(rays.y), g[f"hubble_{pol}_y"],
+                    rtol=1e-8, atol=1e-8)
+    # The reference's reflection p-matrices drift from orthogonality by up
+    # to ~2e-2 on curved mirrors (its local basis uses slightly non-unit
+    # k vectors); ours are unitary to 2e-15. Compare loosely — the drift
+    # is the reference's numerical artifact, not physics.
+    assert_allclose(np.asarray(rays.i), g[f"hubble_{pol}_i"],
+                    rtol=2e-3, atol=2e-3)
+    assert_allclose(np.asarray(rays.p), g[f"hubble_{pol}_p"],
+                    rtol=0.1, atol=3e-2)
+    # physical invariant the reference misses: unitarity
+    P = np.asarray(rays.p)
+    PtP = np.einsum("rij,rik->rjk", P, P)
+    np.testing.assert_allclose(PtP, np.broadcast_to(np.eye(3), PtP.shape),
+                               atol=1e-12)

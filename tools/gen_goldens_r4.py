@@ -102,11 +102,34 @@ def analysis_multi():
     print(f"analysis_multi.npz: {len(out)} arrays")
 
 
+def polarization_mirror():
+    """Polarized traces through a reflective system (Hubble): reflection
+    p-matrices are a separate physics branch from refraction."""
+    from optiland.rays import create_polarization
+    from optiland.samples.telescopes import HubbleTelescope
+
+    out = {}
+    for pol in ("unpolarized", "H", "RCP"):
+        lens = HubbleTelescope()
+        if pol != "unpolarized":
+            lens.set_polarization(create_polarization(pol))
+        else:
+            lens.set_polarization(create_polarization("unpolarized"))
+        rays = lens.trace(Hx=0, Hy=0.7, wavelength=0.55, num_rays=5)
+        out[f"hubble_{pol}_y"] = np.asarray(rays.y)
+        out[f"hubble_{pol}_i"] = np.asarray(rays.i)
+        out[f"hubble_{pol}_p"] = np.asarray(rays.p)
+    np.savez_compressed(os.path.join(OUT, "pol_mirror.npz"), **out)
+    print(f"pol_mirror.npz: {len(out)} arrays")
+
+
 if __name__ == "__main__":
     import sys as _sys
 
-    sections = _sys.argv[1:] or ["analysis", "wavefront"]
+    sections = _sys.argv[1:] or ["analysis", "wavefront", "polmirror"]
     if "analysis" in sections:
         analysis_multi()
     if "wavefront" in sections:
         wavefront_multi()
+    if "polmirror" in sections:
+        polarization_mirror()
