@@ -241,3 +241,17 @@ def test_bsdf_scatter_in_trace():
     assert np.std(L) > 1e-3  # actually scattered
     r2 = o.trace(Hy=0.0, num_rays=16)
     assert not np.allclose(np.asarray(r2.L), L)  # fresh PRNG key per trace
+
+
+def test_vectorial_huygens_psf_parity(goldens):
+    """Vectorial Huygens PSF vs the reference on the Fresnel doublet
+    (reference: psf/vectorial_huygens.py:21; golden from
+    tools/gen_goldens_r4.py vhuygens)."""
+    from optiland_tpu.psf import VectorialHuygensPSF
+
+    g = goldens("vhuygens")
+    psf = VectorialHuygensPSF(pol_doublet("H"), (0.0, 0.0), 0.55,
+                              num_rays=16, image_size=16)
+    assert_allclose(np.asarray(psf.psf), g["vh_psf"], rtol=1e-4, atol=1e-7)
+    assert_allclose(float(psf.strehl_ratio()), float(g["vh_strehl"]),
+                    rtol=1e-4)

@@ -102,6 +102,36 @@ def analysis_multi():
     print(f"analysis_multi.npz: {len(out)} arrays")
 
 
+def vectorial_huygens():
+    """Vectorial Huygens PSF on the Fresnel-coated polarized doublet."""
+    from optiland import optic as ropt
+    from optiland.rays import create_polarization
+    from optiland.psf.vectorial_huygens import VectorialHuygensPSF
+    import optiland.backend as be
+
+    o = ropt.Optic()
+    o.surfaces.add(index=0, radius=be.inf, thickness=be.inf)
+    o.surfaces.add(index=1, radius=50.0, thickness=5.0, material="N-BK7",
+                   is_stop=True, coating="fresnel")
+    o.surfaces.add(index=2, radius=-50.0, thickness=45.0, coating="fresnel")
+    o.surfaces.add(index=3)
+    o.set_aperture("EPD", 20.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.fields.add(y=5)
+    o.wavelengths.add(0.55, is_primary=True)
+    o.set_polarization(create_polarization("H"))
+
+    psf = VectorialHuygensPSF(o, (0.0, 0.0), 0.55, num_rays=16,
+                              image_size=16)
+    out = {
+        "vh_psf": np.asarray(psf.psf),
+        "vh_strehl": np.asarray(psf.strehl_ratio()),
+    }
+    np.savez_compressed(os.path.join(OUT, "vhuygens.npz"), **out)
+    print(f"vhuygens.npz: {len(out)} arrays")
+
+
 def polarization_mirror():
     """Polarized traces through a reflective system (Hubble): reflection
     p-matrices are a separate physics branch from refraction."""
@@ -126,10 +156,12 @@ def polarization_mirror():
 if __name__ == "__main__":
     import sys as _sys
 
-    sections = _sys.argv[1:] or ["analysis", "wavefront", "polmirror"]
+    sections = _sys.argv[1:] or ["analysis", "wavefront", "polmirror", "vhuygens"]
     if "analysis" in sections:
         analysis_multi()
     if "wavefront" in sections:
         wavefront_multi()
     if "polmirror" in sections:
         polarization_mirror()
+    if "vhuygens" in sections:
+        vectorial_huygens()
