@@ -24,6 +24,11 @@ _SURF_TYPES = {
     "ODDASPHE": "odd_asphere",
     "COORDBRK": "coordinate_break",
     "TOROIDAL": "toroidal",
+    # Diffraction grating: PARM 1 = line density (lines/um), PARM 2 =
+    # diffraction order. Beyond reference parity — the reference's reader
+    # rejects DGRATING (its own tests/zemax_files/*grating*.zmx are
+    # unreadable by it).
+    "DGRATING": "grating",
 }
 
 _FIELD_TYPES = {
@@ -311,7 +316,7 @@ class ZemaxToOpticConverter:
 
     def _coeffs(self, surf):
         t = surf["type"]
-        if t in ("standard", "coordinate_break"):
+        if t in ("standard", "coordinate_break", "grating"):
             return ()
         if t in ("even_asphere", "odd_asphere", "toroidal"):
             start = 2 if t == "toroidal" else 0
@@ -366,6 +371,13 @@ class ZemaxToOpticConverter:
                 params["radius_y"] = surf["radius"]
             else:
                 params["radius"] = surf["radius"]
+            if t == "grating":
+                density = surf.get("param_0", 0.0)  # lines per um
+                params["grating_period"] = (
+                    np.inf if density == 0.0 else 1.0 / density
+                )
+                params["grating_order"] = int(surf.get("param_1", 0.0))
+                params.pop("coefficients", None)
 
             thickness = surf.get("thickness", 0.0)
             if has_cb and idx_out > 0 and not np.isinf(float(thickness)):

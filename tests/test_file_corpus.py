@@ -162,3 +162,31 @@ def test_zmx_json_roundtrip(name, tmp_path):
     r1 = _trace_onaxis(lens)
     r2 = _trace_onaxis(lens2)
     assert_allclose(r2.y, r1.y, rtol=1e-10)
+
+
+# -- DGRATING files (beyond reference: its reader rejects these) ---------------
+
+GRATING_FILES = ["flat_transmission_grating", "curved_transmission_grating",
+                 "curved_reflective_grating"]
+
+
+@pytest.mark.parametrize("name", GRATING_FILES)
+def test_dgrating_zmx_loads_and_traces(name):
+    lens = load_zemax_file(os.path.join(ZDIR, f"{name}.zmx"))
+    r = lens.trace(Hx=0, Hy=0, wavelength=lens.primary_wavelength,
+                   num_rays=4, distribution="hexapolar")
+    assert np.isfinite(np.asarray(r.y)).all()
+    assert np.isfinite(np.asarray(r.M)).all()
+
+
+def test_dgrating_flat_obeys_grating_equation():
+    """Normal-incidence chief ray: sin(theta) = m lambda / d with
+    d = 1 / PARM1 and m = PARM2 from the file (PARM1 = 0.2 lines/um,
+    PARM2 = -1)."""
+    lens = load_zemax_file(os.path.join(ZDIR, "flat_transmission_grating.zmx"))
+    wl = lens.primary_wavelength
+    r = lens.trace(Hx=0, Hy=0, wavelength=wl, num_rays=4,
+                   distribution="hexapolar")
+    M = float(np.asarray(r.M)[0])
+    expected = -1 * wl / 5.0  # d = 1/0.2 = 5 um
+    assert M == pytest.approx(expected, abs=1e-9)
