@@ -486,7 +486,7 @@ def save_zemax_file(optic: Optic, filename: str) -> None:
     type_names = {
         "standard": "STANDARD", "plane": "STANDARD",
         "even_asphere": "EVENASPH", "odd_asphere": "ODDASPHE",
-        "toroidal": "TOROIDAL",
+        "toroidal": "TOROIDAL", "grating": "DGRATING",
     }
     def _r(v):
         # plain-float repr: numpy scalars repr as "np.float64(...)"
@@ -585,6 +585,13 @@ def save_zemax_file(optic: Optic, filename: str) -> None:
             )
             for k, c in enumerate(s.coefficients):
                 lines.append(f"  PARM {k + 3} {_r(c)}")
+        elif s.surface_type == "grating":
+            # PARM 1 = line density (lines/um), PARM 2 = diffraction order
+            period = float(s.geo_p1)
+            density = 0.0 if np.isinf(period) else 1.0 / period
+            order = int(s.geo_aux[1]) if s.geo_aux else 0
+            lines.append(f"  PARM 1 {_r(density)}")
+            lines.append(f"  PARM 2 {_r(order)}")
         else:
             for k, c in enumerate(s.coefficients):
                 lines.append(f"  PARM {k + 1} {_r(c)}")

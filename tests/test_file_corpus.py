@@ -190,3 +190,20 @@ def test_dgrating_flat_obeys_grating_equation():
     M = float(np.asarray(r.M)[0])
     expected = -1 * wl / 5.0  # d = 1/0.2 = 5 um
     assert M == pytest.approx(expected, abs=1e-9)
+
+
+@pytest.mark.parametrize("name", GRATING_FILES)
+def test_dgrating_zmx_writer_round_trip(name, tmp_path):
+    """load -> save -> load preserves the grating trace (writer support is
+    also beyond the reference, whose writer has no DGRATING)."""
+    lens = load_zemax_file(os.path.join(ZDIR, f"{name}.zmx"))
+    out = str(tmp_path / "rt.zmx")
+    save_zemax_file(lens, out)
+    lens2 = load_zemax_file(out)
+    wl = lens.primary_wavelength
+    r1 = lens.trace(Hx=0, Hy=0, wavelength=wl, num_rays=4,
+                    distribution="hexapolar")
+    r2 = lens2.trace(Hx=0, Hy=0, wavelength=wl, num_rays=4,
+                     distribution="hexapolar")
+    assert_allclose(np.asarray(r2.y), np.asarray(r1.y), rtol=1e-9, atol=1e-12)
+    assert_allclose(np.asarray(r2.M), np.asarray(r1.M), rtol=1e-9, atol=1e-12)
