@@ -25,6 +25,18 @@ _X64 = os.environ.get("OPTILAND_TPU_X64", "1") != "0"
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# Optional persistent XLA compile cache: deep unrolled traces compile for
+# tens of seconds in f64 on CPU; pointing OPTILAND_TPU_COMPILE_CACHE at a
+# directory makes repeat runs (scripts, notebooks, CI) start warm. Use one
+# directory per process when running many processes concurrently — the
+# cache's cross-process bookkeeping can drop writes under contention.
+_CACHE_DIR = os.environ.get("OPTILAND_TPU_COMPILE_CACHE")
+if _CACHE_DIR:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 _PRECISIONS = {
     "float32": jnp.float32,
     "float64": jnp.float64,
