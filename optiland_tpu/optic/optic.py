@@ -348,6 +348,22 @@ class FieldGroup:
         """Per-field weights (reference: fields/field_group.py weights)."""
         return tuple(f.weight for f in self.fields)
 
+    def get_vig_factor(self, Hx, Hy):
+        """Nearest-neighbor interpolated vignetting factors (vx, vy) at the
+        normalized field point (reference: field_group.py:93-122)."""
+        if not self.fields:
+            return 0.0, 0.0
+        m = self.max_field
+        xf = self.x_fields / m if m else self.x_fields
+        yf = self.y_fields / m if m else self.y_fields
+        Hx = np.atleast_1d(np.asarray(Hx, float))
+        Hy = np.atleast_1d(np.asarray(Hy, float))
+        d2 = (Hx[:, None] - xf[None, :]) ** 2 + (Hy[:, None] - yf[None, :]) ** 2
+        nearest = np.argmin(d2, axis=1)
+        vx = np.array([self.fields[i].vx for i in nearest])
+        vy = np.array([self.fields[i].vy for i in nearest])
+        return vx, vy
+
     def set_telecentric(self, telecentric: bool):
         self.telecentric = telecentric
         self._optic._invalidate()
@@ -1020,6 +1036,12 @@ class Optic:
         Hy_full = np.repeat(Hy, npup)
         Px_full = np.tile(Px, nf)
         Py_full = np.tile(Py, nf)
+        # Per-field vignetting factors compress the pupil
+        # (reference: real_ray_tracer.py:134-137)
+        if any(f.vx or f.vy for f in self.fields.fields):
+            vx, vy = self.fields.get_vig_factor(Hx_full, Hy_full)
+            Px_full = Px_full * (1.0 - vx)
+            Py_full = Py_full * (1.0 - vy)
         if self._aimer is not None and self._aimer.name != "paraxial":
             return self._aimed_trace(
                 Hx_full, Hy_full, Px_full, Py_full, wavelength, record

@@ -332,3 +332,38 @@ def test_stop_index_setter_moves_stop():
     optic.surfaces.stop_index = 5
     assert optic.surfaces.stop_index == 5
     assert sum(s.is_stop for s in optic.surfaces) == 1
+
+
+# -- vignetting factors ---------------------------------------------------------
+
+
+def test_vig_factor_nearest_neighbor():
+    optic = CookeTriplet()
+    optic.fields.fields[0].vx = 0.0
+    optic.fields.fields[-1].vx = 0.2
+    optic.fields.fields[-1].vy = 0.3
+    vx, vy = optic.fields.get_vig_factor([0.0, 1.0], [0.0, 0.0])
+    # nearest to H=(0,0) is field 0; nearest to H=(1,0)... fields are y-only
+    assert vx[0] == 0.0 and vy[0] == 0.0
+
+
+def test_vignetting_compresses_pupil():
+    """vy = 0.5 halves the traced pupil extent in y
+    (reference: real_ray_tracer.py:134-137)."""
+    optic = CookeTriplet()
+    r_full = optic.trace(0.0, 0.0, num_rays=16, wavelength=0.55,
+                         distribution="hexapolar", record=True)
+    for f in optic.fields.fields:
+        f.vy = 0.5
+    r_vig = optic.trace(0.0, 0.0, num_rays=16, wavelength=0.55,
+                        distribution="hexapolar", record=True)
+    # pupil footprint on the first lens surface shrinks in y, not in x
+    y_full = np.asarray(r_full.history["y"][1])
+    y_vig = np.asarray(r_vig.history["y"][1])
+    assert np.abs(y_vig).max() == pytest.approx(
+        0.5 * np.abs(y_full).max(), rel=0.05
+    )
+    x_full = np.asarray(r_full.history["x"][1])
+    x_vig = np.asarray(r_vig.history["x"][1])
+    assert np.abs(x_vig).max() == pytest.approx(np.abs(x_full).max(),
+                                                rel=1e-6)
