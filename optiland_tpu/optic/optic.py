@@ -970,7 +970,8 @@ class Optic:
             aperture_type=self.aperture.ap_type,
             field_type=self.fields.field_type,
             primary_index=self.wavelengths.primary_index,
-            obj_telecentric=self.obj_space_telecentric,
+            obj_telecentric=(self.obj_space_telecentric
+                             or self.fields.telecentric),
         )
 
         return System(

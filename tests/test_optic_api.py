@@ -367,3 +367,15 @@ def test_vignetting_compresses_pupil():
     x_vig = np.asarray(r_vig.history["x"][1])
     assert np.abs(x_vig).max() == pytest.approx(np.abs(x_full).max(),
                                                 rel=1e-6)
+
+
+def test_fields_set_telecentric_reaches_compiled_config():
+    """fields.set_telecentric must flow into the compiled system config
+    (it previously only set a dead FieldGroup flag)."""
+    optic = CookeTriplet()
+    optic.surfaces.surfaces[0].thickness = 150.0  # finite object
+    optic.set_field_type("object_height")
+    optic._invalidate()
+    assert not optic.system.cfg.obj_telecentric
+    optic.fields.set_telecentric(True)
+    assert optic.system.cfg.obj_telecentric
