@@ -17,6 +17,7 @@ static for XLA.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from optiland_tpu.core import geometry as geom
 from optiland_tpu.core.rays import RealRays
@@ -314,4 +315,195 @@ def trace(system: System, rays: RealRays, record: bool = True, key=None):
             history["p"] = p
     elif cfg.polarized:
         history = {"p": p}
+    return out, history
+
+
+# ---------------------------------------------------------------------------
+# Scan-based trace: compile time independent of surface count
+# ---------------------------------------------------------------------------
+
+_SCAN_CODES = frozenset({geom.PLANE, geom.STANDARD, geom.EVEN_ASPHERE})
+
+
+def scan_supported(cfg: SystemConfig) -> bool:
+    """True when the system's per-surface structure is uniform enough for a
+    single ``lax.scan`` body: conic/even-asphere geometry only (a plane is
+    a zero-curvature conic; a pure conic is an even asphere with zero
+    coefficients), plain refract/reflect interactions, array apertures.
+
+    Addresses the unrolled loop's O(num_surfaces) compile time
+    (deep systems like the reference's lithography sample,
+    samples/lithography.py:8, compile in seconds instead of minutes on
+    CPU). The unrolled path remains the default on TPU, where the
+    remote-compile service handles unrolled graphs better than scans and
+    the Pallas kernel owns the hot path anyway.
+    """
+    if any(c not in _SCAN_CODES for c in cfg.geom_codes[1:]):
+        return False
+    from optiland_tpu.physical_apertures import (
+        OffsetRadialAperture, RadialAperture,
+    )
+
+    if cfg.interactions is not None and any(
+        i is not None for i in cfg.interactions
+    ):
+        return False
+    if cfg.apertures is not None and any(
+        a is not None and type(a) not in (RadialAperture,
+                                          OffsetRadialAperture)
+        for a in cfg.apertures
+    ):
+        return False
+    if cfg.coatings is not None and any(c is not None for c in cfg.coatings):
+        return False
+    if cfg.bsdfs is not None and any(b is not None for b in cfg.bsdfs):
+        return False
+    if cfg.polarized:
+        return False
+    if cfg.geom_aux is not None and any(
+        a is not None for a in (cfg.geom_aux[1:] or ())
+    ):
+        return False
+    return True
+
+
+def trace_scan(system: System, rays: RealRays, record: bool = True):
+    """``lax.scan`` over surfaces: the body is traced/compiled once.
+
+    Semantics identical to the unrolled path for scan_supported systems —
+    every surface is treated as an even asphere in curvature form (exact
+    for conics: the Newton iterations start at the closed-form conic root
+    and are fixed points there).
+    """
+    from jax import lax
+
+    stack, cfg = system.stack, system.cfg
+    S = cfg.num_surfaces
+    pos = positions(stack)
+
+    # Per-surface per-ray media (tiny unrolled graphs; the heavy geometry
+    # stays inside the scan body)
+    n_all_s = jnp.stack([
+        n_of(cfg.mat_formulas[s], stack.mat_coeffs[s], stack.ntab[s], rays.w)
+        for s in range(S)
+    ])
+    if cfg.has_absorption:
+        k_all_s = jnp.stack([
+            k_of(stack.ktab[s], rays.w) for s in range(S)
+        ])
+    refl = jnp.asarray([float(r) for r in cfg.reflective])
+
+    sl = slice(1, S)
+    # Radial aperture objects (incl. offset/annular) fold into uniform
+    # per-surface columns; plain semi-diameters (traced stack.ap_max) fill
+    # the rest. Aperture OBJECTS are static config, so their columns are
+    # concrete; only the fallback column is traced.
+    has_ap = np.zeros(S, dtype=bool)
+    obj_rmax = np.full(S, np.inf)
+    ap_rmin = np.zeros(S)
+    ap_ox = np.zeros(S)
+    ap_oy = np.zeros(S)
+    if cfg.apertures is not None:
+        for s_i, a in enumerate(cfg.apertures):
+            if a is not None:
+                has_ap[s_i] = True
+                obj_rmax[s_i] = float(a.r_max)
+                ap_rmin[s_i] = float(a.r_min)
+                ap_ox[s_i] = float(getattr(a, "offset_x", 0.0))
+                ap_oy[s_i] = float(getattr(a, "offset_y", 0.0))
+    ap_rmax = jnp.where(
+        jnp.asarray(has_ap), jnp.asarray(obj_rmax), stack.ap_max
+    )
+
+    xs = {
+        "radius": stack.radius[sl], "conic": stack.conic[sl],
+        "coeffs": stack.coeffs[sl],
+        "dx": stack.dx[sl], "dy": stack.dy[sl], "dz": stack.dz[sl],
+        "rx": stack.rx[sl], "ry": stack.ry[sl], "rz": stack.rz[sl],
+        "ap_rmax": ap_rmax[sl],
+        "ap_rmin": jnp.asarray(ap_rmin)[sl],
+        "ap_ox": jnp.asarray(ap_ox)[sl],
+        "ap_oy": jnp.asarray(ap_oy)[sl],
+        "pos": pos[sl],
+        "n_mat": n_all_s[sl], "refl": refl[sl],
+    }
+    if cfg.has_absorption:
+        xs["k_pre"] = k_all_s[:-1]  # medium BEFORE surface s is material s-1
+
+    has_tilts = cfg.has_tilts
+    has_absorption = cfg.has_absorption
+    w = rays.w
+
+    def body(carry, q):
+        x, y, z, L, M, N, inten, opd, n_pre = carry
+        cu_radius = q["radius"]
+        conic = q["conic"]
+        coeffs = q["coeffs"]
+
+        x = x - q["dx"]
+        y = y - q["dy"]
+        z = z - (q["pos"] + q["dz"])
+        if has_tilts:
+            x, y, L, M = kernels.rotate_z(x, y, L, M, -q["rz"])
+            x, z, L, N = kernels.rotate_y(x, z, L, N, -q["ry"])
+            y, z, M, N = kernels.rotate_x(y, z, M, N, -q["rx"])
+
+        t = geom.distance_static(
+            geom.EVEN_ASPHERE, cu_radius, conic, coeffs, x, y, z, L, M, N
+        )
+        x = x + t * L
+        y = y + t * M
+        z = z + t * N
+
+        if has_absorption:
+            inten = inten * jnp.exp(-4 * jnp.pi * q["k_pre"] / w * t * 1e3)
+
+        opd = opd + jnp.abs(t * n_pre)
+        r2_ap = (x - q["ap_ox"]) ** 2 + (y - q["ap_oy"]) ** 2
+        inten = jnp.where(
+            (r2_ap > q["ap_rmax"] ** 2) | (r2_ap < q["ap_rmin"] ** 2),
+            0.0, inten,
+        )
+
+        nx, ny, nz = geom.surface_normal_static(
+            geom.EVEN_ASPHERE, cu_radius, conic, coeffs, x, y
+        )
+        n_post = jnp.where(q["refl"] > 0.5, n_pre, q["n_mat"])
+        Lt, Mt, Nt = kernels.refract(L, M, N, nx, ny, nz, n_pre, n_post)
+        Lr, Mr, Nr = kernels.reflect(L, M, N, nx, ny, nz)
+        is_refl = q["refl"] > 0.5
+        L = jnp.where(is_refl, Lr, Lt)
+        M = jnp.where(is_refl, Mr, Mt)
+        N = jnp.where(is_refl, Nr, Nt)
+
+        if has_tilts:
+            y, z, M, N = kernels.rotate_x(y, z, M, N, q["rx"])
+            x, z, L, N = kernels.rotate_y(x, z, L, N, q["ry"])
+            x, y, L, M = kernels.rotate_z(x, y, L, M, q["rz"])
+        x = x + q["dx"]
+        y = y + q["dy"]
+        z = z + q["pos"] + q["dz"]
+
+        carry = (x, y, z, L, M, N, inten, opd, n_post)
+        out = (x, y, z, L, M, N, inten, opd) if record else None
+        return carry, out
+
+    carry0 = (
+        rays.x, rays.y, rays.z, rays.L, rays.M, rays.N, rays.i, rays.opd,
+        n_all_s[0],
+    )
+    carry, ys = lax.scan(body, carry0, xs)
+    x, y, z, L, M, N, inten, opd, _ = carry
+    out = RealRays(x=x, y=y, z=z, L=L, M=M, N=N, i=inten, w=w, opd=opd)
+
+    history = None
+    if record:
+        launch = (
+            rays.x, rays.y, rays.z, rays.L, rays.M, rays.N, rays.i, rays.opd
+        )
+        names = ("x", "y", "z", "L", "M", "N", "intensity", "opd")
+        history = {
+            name: jnp.concatenate([launch[k][None], ys[k]], axis=0)
+            for k, name in enumerate(names)
+        }
     return out, history
