@@ -728,18 +728,64 @@ class Optic:
         self._invalidate()
 
     def scale_system(self, scale_factor: float):
-        """Scale all lengths by a factor (reference: optic_updater.py)."""
+        """Scale all lengths by a factor, including geometry coefficients
+        with their per-type exponents (reference: optic_updater.py:175-204
+        + each geometry's ``scale``: even_asphere.py:82-91 C_i s^(1-2(i+1)),
+        polynomial.py:93-103 C_ij s^(1-(i+j)), zernike.py:139-147 and
+        chebyshev.py:110-119 norm radii + linear coefficients,
+        toroidal.py:261-282, plane_grating.py:48-54, grid_sag.py:155-163;
+        the reference deliberately leaves odd-asphere coefficients
+        unscaled, odd_asphere.py:73-81)."""
+        sf = float(scale_factor)
         for s in self.surfaces.surfaces:
             if np.isfinite(s.radius):
-                s.radius *= scale_factor
+                s.radius *= sf
             if np.isfinite(s.thickness):
-                s.thickness *= scale_factor
+                s.thickness *= sf
             if isinstance(s.aperture, (int, float)):
-                s.aperture *= scale_factor
+                s.aperture *= sf
             elif s.aperture is not None:
-                s.aperture.scale(scale_factor)
+                s.aperture.scale(sf)
+
+            st = s.surface_type or "standard"
+            c = list(s.coefficients) if s.coefficients else []
+            if st == "even_asphere" and c:
+                s.coefficients = tuple(
+                    ci * sf ** (1 - 2 * (i + 1)) for i, ci in enumerate(c)
+                )
+            elif st == "polynomial" and c:
+                side = int(np.ceil(np.sqrt(len(c))))
+                s.coefficients = tuple(
+                    ci * sf ** (1 - (k // side + k % side))
+                    for k, ci in enumerate(c)
+                )
+            elif st in ("zernike", "forbes_qbfs", "forbes_q2d") and c:
+                s.coefficients = tuple(ci * sf for ci in c)
+                if np.isfinite(s.geo_p1):
+                    s.geo_p1 *= sf
+            elif st == "chebyshev" and c:
+                s.coefficients = tuple(ci * sf for ci in c)
+                s.geo_p1 *= sf
+                s.geo_p2 *= sf
+            elif st == "toroidal":
+                if np.isfinite(s.geo_p1):
+                    s.geo_p1 *= sf  # Y-Z curve radius
+                if c:
+                    s.coefficients = tuple(
+                        ci * sf ** (1 - 2 * (i + 1))
+                        for i, ci in enumerate(c)
+                    )
+            elif st == "grating":
+                s.geo_p1 *= sf  # grating period
+            elif st == "grid_sag":
+                s.coefficients = tuple(ci * sf for ci in c)
+                kind, xs, ys = s.geo_aux
+                s.geo_aux = (kind, tuple(v * sf for v in xs),
+                             tuple(v * sf for v in ys))
+            elif st == "zernike" or st == "chebyshev":
+                pass  # handled above (coefficient-less cases fall through)
         if self.aperture and self.aperture.ap_type == "EPD":
-            self.aperture = Aperture("EPD", self.aperture.value * scale_factor)
+            self.aperture = Aperture("EPD", self.aperture.value * sf)
         self._invalidate()
 
     def update(self):

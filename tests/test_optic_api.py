@@ -379,3 +379,42 @@ def test_fields_set_telecentric_reaches_compiled_config():
     assert not optic.system.cfg.obj_telecentric
     optic.fields.set_telecentric(True)
     assert optic.system.cfg.obj_telecentric
+
+
+def test_scale_system_scales_asphere_coefficients():
+    """Even-asphere C_i scale as s^(1-2(i+1)) so the scaled lens is the
+    exact geometric magnification of the original: spots scale linearly
+    (reference: even_asphere.py:82-91)."""
+    from optiland_tpu.samples import AsphericSinglet
+
+    lens = AsphericSinglet()
+    wl = lens.primary_wavelength
+    r1 = lens.trace(0.0, 0.0, num_rays=16, wavelength=wl,
+                    distribution="hexapolar")
+    c_before = list(lens.surfaces.surfaces[1].coefficients)
+    lens.scale_system(2.0)
+    c_after = list(lens.surfaces.surfaces[1].coefficients)
+    for i, (a, b) in enumerate(zip(c_before, c_after)):
+        assert b == pytest.approx(a * 2.0 ** (1 - 2 * (i + 1)))
+    r2 = lens.trace(0.0, 0.0, num_rays=16, wavelength=wl,
+                    distribution="hexapolar")
+    np.testing.assert_allclose(
+        2.0 * np.asarray(r1.x), np.asarray(r2.x), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        2.0 * np.asarray(r1.y), np.asarray(r2.y), atol=1e-10
+    )
+
+
+def test_scale_system_grating_period():
+    optic = Optic()
+    optic.add_surface(index=0, thickness=np.inf)
+    optic.add_surface(index=1, thickness=50.0, is_stop=True,
+                      surface_type="grating", grating_period=10.0,
+                      grating_order=1)
+    optic.add_surface(index=2)
+    optic.set_aperture("EPD", 8.0)
+    optic.fields.add(0.0, 0.0)
+    optic.wavelengths.add(0.55, is_primary=True)
+    optic.scale_system(2.0)
+    assert optic.surfaces.surfaces[1].geo_p1 == pytest.approx(20.0)
