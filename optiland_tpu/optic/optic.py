@@ -427,7 +427,9 @@ class WavelengthGroup:
         unit: str = "um",
         weight: float = 1.0,
     ):
-        scale = {"nm": 1e-3, "um": 1.0, "mm": 1e3}[unit]
+        # (reference: wavelength.py:98 unit table)
+        scale = {"nm": 1e-3, "um": 1.0, "mm": 1e3, "cm": 1e4,
+                 "m": 1e6}[unit.lower()]
         self.wavelengths.append(
             Wavelength(value * scale, is_primary, weight=weight)
         )
