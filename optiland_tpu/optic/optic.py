@@ -387,6 +387,10 @@ class FieldGroup:
         return float(np.max(self.y_fields))
 
     @property
+    def max_x_field(self):
+        return float(np.max(self.x_fields))
+
+    @property
     def num_fields(self):
         return len(self.fields)
 
