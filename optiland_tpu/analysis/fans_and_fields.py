@@ -197,9 +197,11 @@ class GridDistortion(BaseAnalysis):
         yr = np.asarray(res.y).reshape(Hy.shape) - y_chief
         delta = np.hypot(xr - xp, yr - yp)
         rp = np.hypot(xp, yp)
+        # guard the on-axis grid point (rp = 0 and delta = 0 there)
+        rp_safe = np.where(rp == 0, 1.0, rp)
         return {
             "xr": xr, "yr": yr, "xp": xp, "yp": yp,
-            "max_distortion": float(np.max(100 * delta / rp)),
+            "max_distortion": float(np.max(100 * delta / rp_safe)),
         }
 
     def view(self, figsize=(7, 5.5), ax=None):
@@ -409,6 +411,10 @@ class PupilAberration(BaseAnalysis):
 
         system = self.optic.system
         stop_idx = system.cfg.stop_index
+        # The paraxial reference is deliberately evaluated at the PRIMARY
+        # wavelength for every analyzed wavelength (reference:
+        # pupil_aberration.py:6,33 — "deviation ... relative to the
+        # paraxial pupil at the primary wavelength"); goldens confirm.
         wl0 = float(self.optic.primary_wavelength)
         P = np.linspace(-1, 1, self.num_points)
 

@@ -430,25 +430,33 @@ def trace(system: System, Hy, Py, wavelength=None):
     )
     field_y = max_field * jnp.asarray(Hy)
     if ft == "angle":
-        y0 = y1 - jnp.tan(jnp.radians(field_y)) * epl
+        # infinite-field rays all share slope tan(theta) — computing the
+        # slope directly (rather than (y1-y0)/(epl-z0)) stays finite when
+        # the entrance pupil coincides with surface 1 (front-stop systems)
+        u0 = jnp.tan(jnp.radians(field_y)) * jnp.ones_like(y1)
         z0 = jnp.ones_like(y1) * pos[1]
+        y0 = y1 - u0 * (epl - z0)
     elif ft == "object_height":
         y0 = jnp.ones_like(y1) * (-field_y)
         z0 = jnp.ones_like(y1) * pos[0]
+        denom = jnp.where(epl == z0, 1.0, epl - z0)
+        u0 = (y1 - y0) / denom
     elif ft in ("paraxial_image_height", "real_image_height"):
         from optiland_tpu.core.raygen import _unit_chief
 
         y_img_unit, y_obj_unit, u_obj_unit = _unit_chief(system)
         if system.cfg.obj_infinite:
             u_obj = u_obj_unit * (field_y / y_img_unit)
-            y0 = y1 + u_obj * -epl
             z0 = jnp.ones_like(y1) * pos[1]
+            u0 = u_obj * jnp.ones_like(y1)
+            y0 = y1 - u0 * (epl - z0)
         else:
             y0 = jnp.ones_like(y1) * (y_obj_unit * (field_y / y_img_unit))
             z0 = jnp.ones_like(y1) * pos[0]
+            denom = jnp.where(epl == z0, 1.0, epl - z0)
+            u0 = (y1 - y0) / denom
     else:
         raise NotImplementedError(f"Field type {ft} not supported")
-    u0 = (y1 - y0) / (epl - z0)
     return trace_generic(system, y0, u0, z0, wavelength=wavelength)
 
 

@@ -315,6 +315,12 @@ class Field:
                 )
             value = float(value)
         object.__setattr__(self, name, value)
+        # Direct mutation (f.vx = ..., f.weight = ...) must invalidate the
+        # owner's compiled-system cache: vignetting factors are baked into
+        # System.vig_x/vig_y at compile time.
+        parent = getattr(self, "_parent", None)
+        if parent is not None and not name.startswith("_"):
+            parent._invalidate()
 
 
 class FieldGroup:
@@ -340,7 +346,9 @@ class FieldGroup:
         vy: float = 0.0,
         weight: float = 1.0,
     ):
-        self.fields.append(Field(x=x, y=y, vx=vx, vy=vy, weight=weight))
+        f = Field(x=x, y=y, vx=vx, vy=vy, weight=weight)
+        object.__setattr__(f, "_parent", self._optic)
+        self.fields.append(f)
         self._optic._invalidate()
 
     @property
@@ -765,11 +773,11 @@ class Optic:
                     ci * sf ** (1 - (k // side + k % side))
                     for k, ci in enumerate(c)
                 )
-            elif st in ("zernike", "forbes_qbfs", "forbes_q2d") and c:
+            elif st in ("zernike", "forbes_qbfs", "forbes_q2d"):
                 s.coefficients = tuple(ci * sf for ci in c)
                 if np.isfinite(s.geo_p1):
                     s.geo_p1 *= sf
-            elif st == "chebyshev" and c:
+            elif st == "chebyshev":
                 s.coefficients = tuple(ci * sf for ci in c)
                 s.geo_p1 *= sf
                 s.geo_p2 *= sf
@@ -788,8 +796,6 @@ class Optic:
                 kind, xs, ys = s.geo_aux
                 s.geo_aux = (kind, tuple(v * sf for v in xs),
                              tuple(v * sf for v in ys))
-            elif st == "zernike" or st == "chebyshev":
-                pass  # handled above (coefficient-less cases fall through)
         if self.aperture and self.aperture.ap_type == "EPD":
             self.aperture = Aperture("EPD", self.aperture.value * sf)
         self._invalidate()
@@ -1089,12 +1095,9 @@ class Optic:
         Hy_full = np.repeat(Hy, npup)
         Px_full = np.tile(Px, nf)
         Py_full = np.tile(Py, nf)
-        # Per-field vignetting factors compress the pupil
-        # (reference: real_ray_tracer.py:134-137)
-        if any(f.vx or f.vy for f in self.fields.fields):
-            vx, vy = self.fields.get_vig_factor(Hx_full, Hy_full)
-            Px_full = Px_full * (1.0 - vx)
-            Py_full = Py_full * (1.0 - vy)
+        # Vignetting factors are applied INSIDE ray generation from the
+        # compiled system's vig_x/vig_y (core/raygen.py:213-230) — do not
+        # also scale the pupil here.
         if self._aimer is not None and self._aimer.name != "paraxial":
             return self._aimed_trace(
                 Hx_full, Hy_full, Px_full, Py_full, wavelength, record

@@ -340,6 +340,25 @@ class Operand:
             self._field_idx = d.pop("field")
         if type(d.get("wavelength")) is int:
             self._wl_idx = d.pop("wavelength")
+            # The index also RESOLVES to that wavelength's value when the
+            # operand function takes one (so {'wavelength': 1} means "the
+            # second configured wavelength", never "1 um"). Paraxial
+            # operands (f2, ...) take no wavelength: for them the index is
+            # weight-lookup only.
+            import inspect
+
+            fn = OPERAND_REGISTRY[self.operand_type]
+            if "wavelength" in inspect.signature(fn).parameters:
+                if self._optic is not None:
+                    try:
+                        d["wavelength"] = float(
+                            self._optic.wavelengths
+                            .wavelengths[self._wl_idx].value
+                        )
+                    except IndexError:
+                        d["wavelength"] = float(self._wl_idx)
+                else:
+                    d["wavelength"] = float(self._wl_idx)
         if "num_rays" in d or "distribution" in d:
             num_rays = d.pop("num_rays", 100)
             dist_name = d.pop("distribution", "hexapolar")

@@ -153,3 +153,13 @@ def test_polarized_mirror_trace_parity(goldens, pol):
     PtP = np.einsum("rij,rik->rjk", P, P)
     np.testing.assert_allclose(PtP, np.broadcast_to(np.eye(3), PtP.shape),
                                atol=1e-12)
+
+
+def test_grid_distortion_on_axis_point_finite():
+    """Odd num_points puts H=(0,0) in the grid; max_distortion must stay
+    finite (0/0 guard on the ideal radius)."""
+    from optiland_tpu.analysis import GridDistortion
+    from optiland_tpu.samples import CookeTriplet
+
+    gd = GridDistortion(CookeTriplet(), num_points=11)
+    assert np.isfinite(gd.data["max_distortion"])

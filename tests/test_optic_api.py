@@ -418,3 +418,22 @@ def test_scale_system_grating_period():
     optic.wavelengths.add(0.55, is_primary=True)
     optic.scale_system(2.0)
     assert optic.surfaces.surfaces[1].geo_p1 == pytest.approx(20.0)
+
+
+def test_vignetting_single_application_after_invalidation():
+    """Vignetting factors are applied exactly once (inside ray generation
+    from System.vig_x/vig_y); direct field mutation invalidates the
+    compiled-system cache so the factors take effect."""
+    optic = CookeTriplet()
+    r_full = optic.trace(0.0, 0.0, num_rays=16, wavelength=0.55,
+                         distribution="hexapolar", record=True)
+    for f in optic.fields.fields:
+        f.vy = 0.5  # Field.__setattr__ invalidates the cache
+    r_vig = optic.trace(0.0, 0.0, num_rays=16, wavelength=0.55,
+                        distribution="hexapolar", record=True)
+    y_full = np.asarray(r_full.history["y"][1])
+    y_vig = np.asarray(r_vig.history["y"][1])
+    # exactly (1 - vy) = 0.5, not (1 - vy)^2 = 0.25
+    assert np.abs(y_vig).max() == pytest.approx(
+        0.5 * np.abs(y_full).max(), rel=1e-6
+    )

@@ -119,3 +119,30 @@ def test_magnification_finite_conjugates():
     lens._invalidate()
     m = float(lens.paraxial.magnification())
     assert np.isfinite(m) and m < 0  # real inverted image
+
+
+def test_front_stop_system_paraxial_trace_finite():
+    """Angle-field systems whose stop is surface 1 have the entrance pupil
+    AT surface 1 (EPL = 0): the launch slope must come from the field
+    angle directly, not from the 0/0 quotient (y1-y0)/(epl-z0)."""
+    from optiland_tpu.optic import Optic
+
+    optic = Optic()
+    optic.add_surface(index=0, thickness=np.inf)
+    optic.add_surface(index=1, radius=60.0, thickness=4.0, material="N-BK7",
+                      is_stop=True)
+    optic.add_surface(index=2, radius=-60.0, thickness=57.0)
+    optic.add_surface(index=3)
+    optic.set_aperture("EPD", 12.0)
+    optic.set_field_type("angle")
+    optic.fields.add(0.0, 0.0)
+    optic.fields.add(0.0, 5.0)
+    optic.wavelengths.add(0.55, is_primary=True)
+    s = optic.system
+    assert float(paraxial.EPL(s)) == pytest.approx(0.0, abs=1e-9)
+    y, u = paraxial.trace(s, 1.0, np.array([-1.0, 0.0, 1.0]), 0.55)
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(np.asarray(u)).all()
+    # slope entering the system equals tan(full field angle)
+    u0 = np.ravel(np.asarray(u))[0:1]
+    assert np.isfinite(u0).all()

@@ -279,3 +279,17 @@ def test_weights_json_round_trip(tmp_path):
     loaded = load_optiland_file(path)
     assert loaded.fields.weights == (2.0, 1.0, 0.0)
     assert loaded.wavelengths.weights == (1.0, 3.0, 0.0)
+
+
+def test_int_wavelength_index_resolves_value_for_ray_operands():
+    """{'wavelength': 1} is an index: weight lookup AND resolution to that
+    wavelength's value for functions that take one."""
+    optic = _make_weighted_optic()
+    op = Operand("rms_spot_size", target=0.0, weight=1.0,
+                 input_data={"optic": optic, "wavelength": 1,
+                             "Hx": 0.0, "Hy": 0.0, "num_rays": 8,
+                             "distribution": "hexapolar"})
+    assert op.effective_weight() == pytest.approx(3.0)  # weight of wl #1
+    assert op.input_data["wavelength"] == pytest.approx(0.48)
+    v = float(op.value(optic.system))
+    assert np.isfinite(v)
