@@ -203,6 +203,11 @@ class SurfaceGroup:
         phase_profile = kwargs.pop("phase_profile", None)
         coating = kwargs.pop("coating", None)
         bsdf = kwargs.pop("bsdf", None)
+        if kwargs:
+            raise TypeError(
+                f"Unknown surface argument(s) for surface_type "
+                f"{surface_type!r}: {sorted(kwargs)}"
+            )
         sd = SurfaceDef(
             radius=radius,
             thickness=thickness,

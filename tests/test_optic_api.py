@@ -437,3 +437,10 @@ def test_vignetting_single_application_after_invalidation():
     assert np.abs(y_vig).max() == pytest.approx(
         0.5 * np.abs(y_full).max(), rel=1e-6
     )
+
+
+def test_add_surface_rejects_unknown_kwargs():
+    optic = Optic()
+    optic.add_surface(index=0, thickness=np.inf)
+    with pytest.raises(TypeError, match="Unknown surface argument"):
+        optic.add_surface(index=1, radius=50.0, radiuss=3.0)
