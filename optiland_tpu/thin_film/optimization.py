@@ -145,9 +145,13 @@ def needle_synthesis(
     reoptimize_iters: int = 100,
 ):
     """Needle insertion synthesis (reference:
-    thin_film/optimization/needle.py:45-82): repeatedly insert a thin
-    "needle" layer at the position that most reduces the merit, then
-    reoptimize all thicknesses; stop when no insertion improves.
+    thin_film/optimization/needle.py): screen sampled positions with a
+    thin trial needle (finite-difference estimate of the variational
+    derivative), insert at the best position, reoptimize all thicknesses,
+    and keep the insertion only if the *reoptimized* merit improves —
+    otherwise roll back and stop. The reference judges acceptance on the
+    post-reoptimization merit too (needle.py `merit_after`), which lets
+    needles with a flat first-order screening still earn their place.
     """
     stack = optimizer.stack
     history = [optimizer.sum_squared()]
@@ -175,16 +179,23 @@ def needle_synthesis(
                         best = (merit, li, pos_frac)
                     break
                 z += layer.thickness_um
-        if best is None or best[0] >= base_merit:
+        if best is None:
             break
+        # Insert the best screening candidate and reoptimize; acceptance
+        # is judged on the reoptimized merit (rollback on regression).
         _, li, pos_frac = best
+        saved_stack = stack.copy()
         stack.split_layer(li, pos_frac)
         stack.insert_layer(li + 1, needle_material, needle_thickness_um)
         optimizer.variables = []
         optimizer.add_all_thickness_variables()
         optimizer.optimize(maxiter=reoptimize_iters)
         new_merit = optimizer.sum_squared()
-        history.append(new_merit)
         if new_merit >= base_merit - 1e-12:
+            # rollback: restore layers from the saved copy
+            stack.layers = saved_stack.layers
+            optimizer.variables = []
+            optimizer.add_all_thickness_variables()
             break
+        history.append(new_merit)
     return history
