@@ -16,6 +16,9 @@ static for XLA.
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -257,6 +260,14 @@ def _surface_step(stack, cfg, s, pos_s, state):
     return (x, y, z, L, M, N, inten, opd, w, n_next, p, key)
 
 
+# OPTILAND_TPU_TRACE_ENGINE: "auto" (default) picks the scan engine for
+# deep uniform systems on CPU; "unrolled" forces the unrolled path.
+_AUTO_SCAN = os.environ.get(
+    "OPTILAND_TPU_TRACE_ENGINE", "auto"
+).lower() != "unrolled"
+_AUTO_SCAN_MIN_SURFACES = 12
+
+
 def trace(system: System, rays: RealRays, record: bool = True, key=None):
     """Trace a ray bundle through every surface of the system.
 
@@ -276,6 +287,18 @@ def trace(system: System, rays: RealRays, record: bool = True, key=None):
         final per-ray polarization matrices under "p".
     """
     stack, cfg = system.stack, system.cfg
+    # Deep uniform systems: the unrolled graph's XLA compile time is
+    # O(num_surfaces) and dominates CPU test/analysis wall-clock (a
+    # 24-surface .zmx compiles for >60 s); the scan body compiles once.
+    # TPU keeps the unrolled path (the remote-compile service handles it
+    # better, and the Pallas kernel owns the hot path there anyway).
+    if (
+        _AUTO_SCAN
+        and cfg.num_surfaces >= _AUTO_SCAN_MIN_SURFACES
+        and jax.default_backend() == "cpu"
+        and scan_supported(cfg)
+    ):
+        return trace_scan(system, rays, record=record)
     n0 = n_of(cfg.mat_formulas[0], stack.mat_coeffs[0], stack.ntab[0], rays.w)
     has_bsdf = cfg.bsdfs is not None and any(b is not None for b in cfg.bsdfs)
     if has_bsdf and key is None:
