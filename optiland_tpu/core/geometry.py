@@ -350,13 +350,16 @@ def _normal_plane(x_like):
 
 
 def _normal_standard(radius, conic, x, y):
+    # rsqrt keeps this on one transcendental op per normalization instead
+    # of sqrt-then-divide chains — the VPU-bound Pallas trace kernel runs
+    # this per ray per surface.
     r2 = x**2 + y**2
     cu = 1.0 / radius
-    inv_denom = cu / jnp.sqrt(1 - (1 + conic) * cu**2 * r2)
+    inv_denom = cu * lax.rsqrt(1 - (1 + conic) * cu**2 * r2)
     dfdx = x * inv_denom
     dfdy = y * inv_denom
-    mag = jnp.sqrt(dfdx**2 + dfdy**2 + 1)
-    return dfdx / mag, dfdy / mag, -1.0 / mag
+    inv_mag = lax.rsqrt(dfdx**2 + dfdy**2 + 1)
+    return dfdx * inv_mag, dfdy * inv_mag, -inv_mag
 
 
 def _normal_chebyshev(radius, conic, coeffs, p1, p2, x, y):
@@ -412,8 +415,8 @@ def surface_normal_static(
     f = lambda xx, yy: sag_fn(radius, conic, coeffs, p1, p2, xx, yy, aux=aux)
     _, dfdx = jax.jvp(f, (x, y), (jnp.ones_like(x), jnp.zeros_like(y)))
     _, dfdy = jax.jvp(f, (x, y), (jnp.zeros_like(x), jnp.ones_like(y)))
-    mag = jnp.sqrt(dfdx**2 + dfdy**2 + 1)
-    return dfdx / mag, dfdy / mag, -1.0 / mag
+    inv_mag = lax.rsqrt(dfdx**2 + dfdy**2 + 1)
+    return dfdx * inv_mag, dfdy * inv_mag, -inv_mag
 
 
 # ---------------------------------------------------------------------------

@@ -235,6 +235,8 @@ def _chain(spec, getp, getc, getm, x, y, z, L, M, N, i, opd, w=None):
     """
     codes, refl, tilted, auxes, nc, newton_iters, formulas, nm = spec[:8]
     has_abs = spec[8] if len(spec) > 8 else True
+    if isinstance(has_abs, bool):
+        has_abs = (has_abs,) * len(codes)
     inner = spec[9] if len(spec) > 9 else (False,) * len(codes)
     S = len(codes)
     if w is None:
@@ -250,7 +252,7 @@ def _chain(spec, getp, getc, getm, x, y, z, L, M, N, i, opd, w=None):
             s, codes[s], refl[s], tilted[s], auxes[s], getp, getc, nc,
             state, newton_iters,
             formula=formulas[s] if w is not None else None,
-            getm=getm, nm=nm, has_absorption=has_abs, inner=inner[s],
+            getm=getm, nm=nm, has_absorption=has_abs[s], inner=inner[s],
         )
     return state[:8]
 
@@ -270,7 +272,27 @@ def _spec_of(system, newton_iters, poly):
     )
     return (
         tuple(cfg.geom_codes), tuple(cfg.reflective), tilted, auxes, nc,
-        newton_iters, formulas, nm, bool(cfg.has_absorption), inner,
+        newton_iters, formulas, nm, _absorption_mask(system), inner,
+    )
+
+
+def _absorption_mask(system):
+    """Per-surface absorption flags: surface s attenuates through material
+    s-1, and a material whose k table is identically zero contributes
+    exp(0) = 1 — skipping its exp is exact, and air gaps dominate most
+    systems (4 of the Cooke triplet's 7 exps vanish)."""
+    cfg = system.cfg
+    S = cfg.num_surfaces
+    if not cfg.has_absorption:
+        return (False,) * S
+    try:
+        kt = np.asarray(system.stack.ktab)
+    except jax.errors.TracerArrayConversionError:
+        return (True,) * S  # k values are traced: keep every exp
+    k_col = kt[..., 1] if kt.ndim == 3 else kt
+    mat_absorbs = [bool(np.any(k_col[m] != 0.0)) for m in range(S)]
+    return tuple(
+        mat_absorbs[max(s - 1, 0)] if s > 0 else False for s in range(S)
     )
 
 
