@@ -261,11 +261,20 @@ def _surface_step(stack, cfg, s, pos_s, state):
 
 
 # OPTILAND_TPU_TRACE_ENGINE: "auto" (default) picks the scan engine for
-# deep uniform systems on CPU; "unrolled" forces the unrolled path.
-_AUTO_SCAN = os.environ.get(
-    "OPTILAND_TPU_TRACE_ENGINE", "auto"
-).lower() != "unrolled"
+# deep scan-supported systems; "unrolled"/"scan" force a path. Read per
+# call so it can be toggled after import (e.g. by tests).
+_ENGINE_MODES = ("auto", "unrolled", "scan")
 _AUTO_SCAN_MIN_SURFACES = 12
+
+
+def _engine_mode() -> str:
+    mode = os.environ.get("OPTILAND_TPU_TRACE_ENGINE", "auto").lower()
+    if mode not in _ENGINE_MODES:
+        raise ValueError(
+            f"OPTILAND_TPU_TRACE_ENGINE={mode!r}; expected one of "
+            f"{_ENGINE_MODES}"
+        )
+    return mode
 
 
 def trace(system: System, rays: RealRays, record: bool = True, key=None):
@@ -287,15 +296,23 @@ def trace(system: System, rays: RealRays, record: bool = True, key=None):
         final per-ray polarization matrices under "p".
     """
     stack, cfg = system.stack, system.cfg
-    # Deep uniform systems: the unrolled graph's XLA compile time is
-    # O(num_surfaces) and dominates CPU test/analysis wall-clock (a
-    # 24-surface .zmx compiles for >60 s); the scan body compiles once.
-    # TPU keeps the unrolled path (the remote-compile service handles it
-    # better, and the Pallas kernel owns the hot path there anyway).
+    # Deep systems: the unrolled graph's XLA compile time is
+    # O(num_surfaces) and dominates test/analysis wall-clock (a
+    # 24-surface .zmx compiles for >60 s); the scan body compiles once
+    # per distinct geometry family. Auto-selected on every backend (the
+    # Pallas kernel still owns the TPU hot path via trace_fast).
+    mode = _engine_mode()
+    if mode == "scan":
+        if not scan_supported(cfg):
+            raise ValueError(
+                "OPTILAND_TPU_TRACE_ENGINE=scan but this system is not "
+                "scan-supported (custom interactions/coatings/BSDFs/"
+                "polarization or non-array apertures)."
+            )
+        return trace_scan(system, rays, record=record)
     if (
-        _AUTO_SCAN
+        mode == "auto"
         and cfg.num_surfaces >= _AUTO_SCAN_MIN_SURFACES
-        and jax.default_backend() == "cpu"
         and scan_supported(cfg)
     ):
         return trace_scan(system, rays, record=record)
@@ -345,21 +362,27 @@ def trace(system: System, rays: RealRays, record: bool = True, key=None):
 # Scan-based trace: compile time independent of surface count
 # ---------------------------------------------------------------------------
 
-_SCAN_CODES = frozenset({geom.PLANE, geom.STANDARD, geom.EVEN_ASPHERE})
+# Every sag family the Pallas kernel covers (ops/pallas_trace.py OK_CODES);
+# aux-bearing families (Zernike sag, Forbes) compile one scan branch per
+# distinct (code, aux) pair. Grid sag and NURBS stay on the unrolled path
+# (their aux carries whole grids / knot vectors).
+_SCAN_CODES = frozenset({
+    geom.PLANE, geom.STANDARD, geom.EVEN_ASPHERE, geom.ODD_ASPHERE,
+    geom.POLYNOMIAL_XY, geom.CHEBYSHEV, geom.ZERNIKE_SAG, geom.TOROIDAL,
+    geom.BICONIC, geom.FORBES_QBFS, geom.FORBES_Q2D,
+})
 
 
 def scan_supported(cfg: SystemConfig) -> bool:
-    """True when the system's per-surface structure is uniform enough for a
-    single ``lax.scan`` body: conic/even-asphere geometry only (a plane is
-    a zero-curvature conic; a pure conic is an even asphere with zero
-    coefficients), plain refract/reflect interactions, array apertures.
+    """True when the system can be traced by the ``lax.scan`` engine: any
+    closed-form/Newton sag family (one compiled ``lax.switch`` branch per
+    distinct geometry family, so compile time is O(#families), not
+    O(#surfaces)), plain refract/reflect interactions, array apertures.
 
     Addresses the unrolled loop's O(num_surfaces) compile time
     (deep systems like the reference's lithography sample,
-    samples/lithography.py:8, compile in seconds instead of minutes on
-    CPU). The unrolled path remains the default on TPU, where the
-    remote-compile service handles unrolled graphs better than scans and
-    the Pallas kernel owns the hot path anyway.
+    samples/lithography.py:8, compile in seconds instead of minutes).
+    The Pallas kernel still owns the TPU hot path via trace_fast.
     """
     if any(c not in _SCAN_CODES for c in cfg.geom_codes[1:]):
         return False
@@ -383,26 +406,54 @@ def scan_supported(cfg: SystemConfig) -> bool:
         return False
     if cfg.polarized:
         return False
-    if cfg.geom_aux is not None and any(
-        a is not None for a in (cfg.geom_aux[1:] or ())
-    ):
-        return False
     return True
 
 
 def trace_scan(system: System, rays: RealRays, record: bool = True):
-    """``lax.scan`` over surfaces: the body is traced/compiled once.
+    """``lax.scan`` over surfaces: the body is traced/compiled once per
+    distinct geometry family present in the system.
 
     Semantics identical to the unrolled path for scan_supported systems —
-    every surface is treated as an even asphere in curvature form (exact
-    for conics: the Newton iterations start at the closed-form conic root
-    and are fixed points there).
+    each surface dispatches through a ``lax.switch`` whose branch list is
+    the (static) set of distinct (geometry code, aux) pairs, so a
+    20-surface all-asphere system compiles one asphere branch, not 20
+    unrolled steps (the reference's Python-polymorphic loop has no compile
+    cost but ~100x the per-ray cost; surface_group.py:245-257).
     """
     from jax import lax
 
     stack, cfg = system.stack, system.cfg
     S = cfg.num_surfaces
     pos = positions(stack)
+
+    # Branch table: one compiled geometry branch per distinct (code, aux)
+    fams = []
+    fam_idx = np.zeros(S, dtype=np.int32)
+    for s_i in range(1, S):
+        fam_key = (
+            cfg.geom_codes[s_i],
+            cfg.geom_aux[s_i] if cfg.geom_aux is not None else None,
+        )
+        if fam_key not in fams:
+            fams.append(fam_key)
+        fam_idx[s_i] = fams.index(fam_key)
+
+    def _make_branch(code, aux):
+        def branch(args):
+            radius, conic, coeffs, p1, p2, x, y, z, L, M, N = args
+            t = geom.distance_static(
+                code, radius, conic, coeffs, x, y, z, L, M, N,
+                p1=p1, p2=p2, aux=aux,
+            )
+            nx, ny, nz = geom.surface_normal_static(
+                code, radius, conic, coeffs, x + t * L, y + t * M,
+                p1=p1, p2=p2, aux=aux,
+            )
+            return t, nx, ny, nz
+
+        return branch
+
+    geo_branches = [_make_branch(c, a) for c, a in fams]
 
     # Per-surface per-ray media (tiny unrolled graphs; the heavy geometry
     # stays inside the scan body)
@@ -441,6 +492,8 @@ def trace_scan(system: System, rays: RealRays, record: bool = True):
     xs = {
         "radius": stack.radius[sl], "conic": stack.conic[sl],
         "coeffs": stack.coeffs[sl],
+        "p1": stack.geo_p1[sl], "p2": stack.geo_p2[sl],
+        "fam": jnp.asarray(fam_idx)[sl],
         "dx": stack.dx[sl], "dy": stack.dy[sl], "dz": stack.dz[sl],
         "rx": stack.rx[sl], "ry": stack.ry[sl], "rz": stack.rz[sl],
         "ap_rmax": ap_rmax[sl],
@@ -459,9 +512,6 @@ def trace_scan(system: System, rays: RealRays, record: bool = True):
 
     def body(carry, q):
         x, y, z, L, M, N, inten, opd, n_pre = carry
-        cu_radius = q["radius"]
-        conic = q["conic"]
-        coeffs = q["coeffs"]
 
         x = x - q["dx"]
         y = y - q["dy"]
@@ -471,9 +521,14 @@ def trace_scan(system: System, rays: RealRays, record: bool = True):
             x, z, L, N = kernels.rotate_y(x, z, L, N, -q["ry"])
             y, z, M, N = kernels.rotate_x(y, z, M, N, -q["rx"])
 
-        t = geom.distance_static(
-            geom.EVEN_ASPHERE, cu_radius, conic, coeffs, x, y, z, L, M, N
+        geo_args = (
+            q["radius"], q["conic"], q["coeffs"], q["p1"], q["p2"],
+            x, y, z, L, M, N,
         )
+        if len(geo_branches) == 1:
+            t, nx, ny, nz = geo_branches[0](geo_args)
+        else:
+            t, nx, ny, nz = lax.switch(q["fam"], geo_branches, geo_args)
         x = x + t * L
         y = y + t * M
         z = z + t * N
@@ -488,9 +543,6 @@ def trace_scan(system: System, rays: RealRays, record: bool = True):
             0.0, inten,
         )
 
-        nx, ny, nz = geom.surface_normal_static(
-            geom.EVEN_ASPHERE, cu_radius, conic, coeffs, x, y
-        )
         n_post = jnp.where(q["refl"] > 0.5, n_pre, q["n_mat"])
         Lt, Mt, Nt = kernels.refract(L, M, N, nx, ny, nz, n_pre, n_post)
         Lr, Mr, Nr = kernels.reflect(L, M, N, nx, ny, nz)

@@ -149,18 +149,22 @@ def needle_synthesis(
     thin trial needle (finite-difference estimate of the variational
     derivative), insert at the best position, reoptimize all thicknesses,
     and keep the insertion only if the *reoptimized* merit improves —
-    otherwise roll back and stop. The reference judges acceptance on the
-    post-reoptimization merit too (needle.py `merit_after`), which lets
-    needles with a flat first-order screening still earn their place.
+    otherwise roll back and try the next-best position. Rejected
+    (layer, position) candidates are remembered and skipped, and the
+    rejected set resets after each accepted needle (the stack geometry
+    changed), matching the reference's rejected-set acceptance semantics
+    (needle.py:382-456); acceptance is judged on the post-reoptimization
+    merit (needle.py `merit_after`).
     """
     stack = optimizer.stack
     history = [optimizer.sum_squared()]
+    rejected: set = set()
     for _ in range(max_needles):
         base_merit = optimizer.sum_squared()
-        best = None
         total_d = sum(l.thickness_um for l in stack.layers)
         if total_d <= 0 or not stack.layers:
             break
+        candidates = []
         for frac in np.linspace(0.05, 0.95, num_positions):
             depth = frac * total_d
             # locate the layer containing this depth
@@ -168,6 +172,8 @@ def needle_synthesis(
             for li, layer in enumerate(stack.layers):
                 if z + layer.thickness_um >= depth:
                     pos_frac = (depth - z) / max(layer.thickness_um, 1e-12)
+                    if (li, round(pos_frac, 9)) in rejected:
+                        break
                     trial = stack.copy()
                     trial.split_layer(li, pos_frac)
                     trial.insert_layer(li + 1, needle_material, needle_thickness_um)
@@ -175,15 +181,15 @@ def needle_synthesis(
                     trial_opt.operands = optimizer.operands
                     trial_opt.add_all_thickness_variables()
                     merit = trial_opt.sum_squared()
-                    if best is None or merit < best[0]:
-                        best = (merit, li, pos_frac)
+                    candidates.append((merit, li, pos_frac))
                     break
                 z += layer.thickness_um
-        if best is None:
+        if not candidates:
             break
         # Insert the best screening candidate and reoptimize; acceptance
-        # is judged on the reoptimized merit (rollback on regression).
-        _, li, pos_frac = best
+        # is judged on the reoptimized merit (rollback on regression, then
+        # keep screening the remaining positions next iteration).
+        _, li, pos_frac = min(candidates, key=lambda c: c[0])
         saved_stack = stack.copy()
         stack.split_layer(li, pos_frac)
         stack.insert_layer(li + 1, needle_material, needle_thickness_um)
@@ -192,10 +198,13 @@ def needle_synthesis(
         optimizer.optimize(maxiter=reoptimize_iters)
         new_merit = optimizer.sum_squared()
         if new_merit >= base_merit - 1e-12:
-            # rollback: restore layers from the saved copy
+            # rollback: restore layers from the saved copy and remember the
+            # rejected candidate so other positions still get screened
             stack.layers = saved_stack.layers
             optimizer.variables = []
             optimizer.add_all_thickness_variables()
-            break
+            rejected.add((li, round(pos_frac, 9)))
+            continue
+        rejected.clear()
         history.append(new_merit)
     return history
