@@ -322,8 +322,12 @@ def trace(system: System, rays: RealRays, record: bool = True, key=None):
         raise ValueError("A PRNG key is required to trace systems with BSDFs.")
     p = None
     if cfg.polarized:
+        from optiland_tpu.polarization import complex_dtype
+
         R = rays.x.shape[0]
-        p = jnp.broadcast_to(jnp.eye(3, dtype=jnp.complex128), (R, 3, 3))
+        p = jnp.broadcast_to(
+            jnp.eye(3, dtype=complex_dtype(rays.x.dtype)), (R, 3, 3)
+        )
     state = (
         rays.x, rays.y, rays.z, rays.L, rays.M, rays.N, rays.i, rays.opd,
         rays.w, n0, p, key,

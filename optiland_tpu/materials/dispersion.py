@@ -220,6 +220,11 @@ def n_from_formula(code, coeffs, w):
     w = jnp.asarray(w)
     scalar = w.ndim == 0
     wv = jnp.atleast_1d(w)
+    # lax.switch requires identical branch output dtypes; with mixed-dtype
+    # inputs (e.g. f32 rays against f64 coefficient tables under x64) the
+    # coeff-only and wavelength-dependent branches would disagree — promote
+    # the wavelength to the common dtype first.
+    wv = wv.astype(jnp.result_type(coeffs, wv))
     out = lax.switch(jnp.asarray(code, jnp.int32), _BRANCHES, coeffs, wv)
     return out[0] if scalar else out
 

@@ -1,0 +1,531 @@
+"""Pallas TPU kernels: fused polarized ray trace (Jones calculus in-kernel).
+
+The XLA polarized path (core/trace.py + polarization.update_p) round-trips
+the per-ray 3x3 complex polarization matrix through HBM at every surface:
+18 extra (R,) channels of traffic per surface plus the einsum temporaries.
+These kernels keep the ray state AND the polarization matrix resident in
+VMEM for the whole surface chain, expanding complex arithmetic to real
+pairs (complex dtypes do not lower to TPU Pallas).
+
+The per-surface p-update is algebraically restructured from the reference's
+O_out @ J @ O_in matrix product (reference: optiland/rays/
+polarized_rays.py:136-199) into three rank-1 outer products
+
+    surf = Js * outer(s, s) + Jp * outer(p1, p0) + Jz * outer(k1, k0)
+
+where (s, p0, p1) is the local s/p basis bridging the pre/post interaction
+directions k0/k1 and (Js, Jp, Jz) the (possibly complex) Jones diagonal —
+identical result, but expressed as elementwise VPU ops with no per-ray
+matrix materialization.
+
+Coating models covered in-kernel (static per-surface dispatch):
+  - no coating: pure basis rotation (Js = Jp = Jz = 1)
+  - SimpleCoating: intensity factor + basis rotation
+    (reference: coatings.py:164)
+  - FresnelCoating: bare-interface Fresnel amplitude coefficients with the
+    complex sqrt expanded to real pairs, so TIR phase is exact
+    (reference: coatings.py:362, jones.py:56)
+Polarizer/retarder/thin-film coatings fall back to the XLA path.
+
+Backward: in-kernel VJP (same design as ops/pallas_trace._pallas_bwd) —
+jax.vjp of the identical chain traced into the kernel body, scalar
+parameter/coating gradients accumulated across the sequential grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from optiland_tpu.ops.pallas_trace import (
+    LANE,
+    NUM_P,
+    OK_CODES,
+    P_NPOST,
+    _pad_ray_arrays,
+    _spec_of,
+    _step_tile,
+    _tile_rows,
+    build_param_table,
+    mosaic_compile_ctx,
+)
+
+TILE_ROWS_POL_FWD = 256  # 26 output channels: smaller tile than plain trace
+TILE_ROWS_POL_BWD = 16
+
+N_COAT = 2  # per-surface coating scalars (n1, n2) or (T, R)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel Jones / p-matrix algebra (real-pair complex arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def _cross3(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _local_basis_tile(k0, k1):
+    """Local s/p basis on a ray tile (matches polarization.local_basis
+    including the degenerate-direction fallback; reference:
+    polarized_rays.py:136-175)."""
+    s = _cross3(k0, k1)
+    mag = jnp.sqrt(s[0] ** 2 + s[1] ** 2 + s[2] ** 2)
+    degenerate = mag < 1e-12
+
+    # fallback basis: p_fb = k0 x xhat, or k0 x yhat when k0 ~ +-xhat
+    p_fb1 = (jnp.zeros_like(k0[0]), k0[2], -k0[1])
+    n1 = jnp.sqrt(p_fb1[1] ** 2 + p_fb1[2] ** 2)
+    p_fb2 = (-k0[2], jnp.zeros_like(k0[0]), k0[0])
+    use2 = n1 < 1e-12
+    p_fb = tuple(jnp.where(use2, b, a) for a, b in zip(p_fb1, p_fb2))
+    s_fb = _cross3(p_fb, k0)
+
+    s = tuple(jnp.where(degenerate, b, a) for a, b in zip(s, s_fb))
+    mag = jnp.sqrt(s[0] ** 2 + s[1] ** 2 + s[2] ** 2)
+    s = tuple(c / mag for c in s)
+    p0 = _cross3(k0, s)
+    p1 = _cross3(k1, s)
+    return s, p0, p1
+
+
+def _cdiv(ar, ai, br, bi):
+    """(ar + i ai) / (br + i bi) as real pairs."""
+    den = br * br + bi * bi
+    return (ar * br + ai * bi) / den, (ai * br - ar * bi) / den
+
+
+def _fresnel_diag(n1, n2, adot, reflect):
+    """Fresnel Jones diagonal (Js, Jp, Jz) as real pairs.
+
+    ``n1``/``n2`` are SMEM scalars, ``adot`` = cos(aoi) per ray. The
+    complex sqrt of n^2 - sin^2(aoi) is expanded to real pairs so TIR
+    (arg < 0) carries the exact phase (reference: jones.py:56-118).
+    """
+    n = n2 / n1
+    arg = n * n - 1.0 + adot * adot  # n^2 - sin^2(aoi)
+    # double-where sqrt guard: sqrt(max(-arg, 0)) has an inf * 0 = NaN
+    # cotangent whenever arg > 0 (the common, non-TIR case)
+    pos = arg >= 0
+    root_re = jnp.where(pos, jnp.sqrt(jnp.where(pos, arg, 1.0)), 0.0)
+    root_im = jnp.where(pos, 0.0, jnp.sqrt(jnp.where(pos, 1.0, -arg)))
+    cos_i = adot
+    one = jnp.ones_like(adot)
+    zero = jnp.zeros_like(adot)
+    if reflect:
+        js = _cdiv(cos_i - root_re, -root_im, cos_i + root_re, root_im)
+        p_re, p_im = _cdiv(
+            n * n * cos_i - root_re, -root_im,
+            n * n * cos_i + root_re, root_im,
+        )
+        return js, (-p_re, -p_im), (-one, zero)
+    js = _cdiv(2 * cos_i, zero, cos_i + root_re, root_im)
+    jp = _cdiv(2 * n * cos_i, zero, n * n * cos_i + root_re, root_im)
+    return js, jp, (one, zero)
+
+
+def _identity_p(x):
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    p_re = [[one if i == j else zero for j in range(3)] for i in range(3)]
+    p_im = [[zero for _ in range(3)] for _ in range(3)]
+    return p_re, p_im
+
+
+def _update_p_tile(p_re, p_im, k0, k1, diag):
+    """p <- surf @ p with surf = sum of three rank-1 outer products.
+
+    ``diag`` is None (identity Jones: pure basis rotation) or a 3-tuple of
+    (re, im) pairs (Js, Jp, Jz)."""
+    s, p0, p1 = _local_basis_tile(k0, k1)
+    b_out = (s, p1, k1)
+    b_in = (s, p0, k0)
+    if diag is None:
+        one = jnp.ones_like(k0[0])
+        zero = jnp.zeros_like(k0[0])
+        diag = (((one, zero),) * 3)
+    # surf[i][l] = sum_k b_out[k][i] * J_k * b_in[k][l]
+    surf_re = [[None] * 3 for _ in range(3)]
+    surf_im = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for l in range(3):
+            sr = si = 0.0
+            for kk in range(3):
+                coef = b_out[kk][i] * b_in[kk][l]
+                jr, ji = diag[kk]
+                sr = sr + coef * jr
+                si = si + coef * ji
+            surf_re[i][l] = sr
+            surf_im[i][l] = si
+    new_re = [[None] * 3 for _ in range(3)]
+    new_im = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for l in range(3):
+            ar = ai = 0.0
+            for kk in range(3):
+                ar = ar + (surf_re[i][kk] * p_re[kk][l]
+                           - surf_im[i][kk] * p_im[kk][l])
+                ai = ai + (surf_re[i][kk] * p_im[kk][l]
+                           + surf_im[i][kk] * p_re[kk][l])
+            new_re[i][l] = ar
+            new_im[i][l] = ai
+    return new_re, new_im
+
+
+def _chain_pol(spec, coat_kinds, getp, getc, getcoat,
+               x, y, z, L, M, N, i, opd):
+    """Full polarized surface chain on a tile: ray state + p matrix.
+
+    Returns the 8 ray arrays followed by the 18 p channels (9 real then 9
+    imaginary, row-major)."""
+    codes, refl, tilted, auxes, nc = spec[:5]
+    newton_iters = spec[5]
+    has_abs = spec[8]
+    inner = spec[9]
+    S = len(codes)
+    n0 = getp(0, P_NPOST)
+    state = (x, y, z, L, M, N, i, opd, n0, None)
+    p_re, p_im = _identity_p(x)
+    for s in range(1, S):
+        state, extras = _step_tile(
+            s, codes[s], refl[s], tilted[s], auxes[s], getp, getc, nc,
+            state, newton_iters, has_absorption=has_abs[s], inner=inner[s],
+            want_extras=True,
+        )
+        L0, M0, N0, L1, M1, N1, adot = extras
+        kind = coat_kinds[s]
+        diag = None
+        if kind == "simple":
+            # intensity factor after the interaction
+            # (reference: coatings.py:164-200; T column 0, R column 1)
+            factor = getcoat(s, 1 if refl[s] else 0)
+            st = list(state)
+            st[6] = st[6] * factor
+            state = tuple(st)
+        elif kind == "fresnel":
+            diag = _fresnel_diag(
+                getcoat(s, 0), getcoat(s, 1), adot, refl[s]
+            )
+        p_re, p_im = _update_p_tile(
+            p_re, p_im, (L0, M0, N0), (L1, M1, N1), diag
+        )
+    flat_p = [p_re[i][j] for i in range(3) for j in range(3)] + [
+        p_im[i][j] for i in range(3) for j in range(3)
+    ]
+    return tuple(state[:8]) + tuple(flat_p)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel_pol(spec, coat_kinds):
+    def kernel(*refs):
+        params_ref, coeffs_ref, coat_ref = refs[0], refs[1], refs[2]
+        in_refs = refs[3:11]
+        out_refs = refs[11:]
+        getp = lambda s, col: params_ref[s, col]
+        getc = lambda s, ci: coeffs_ref[s, ci]
+        getcoat = lambda s, ci: coat_ref[s, ci]
+        ins = [r[:] for r in in_refs]
+        out = _chain_pol(spec, coat_kinds, getp, getc, getcoat, *ins)
+        for ref, val in zip(out_refs, out):
+            ref[:] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "coat_kinds"))
+def _pallas_fwd_pol(params, coeffs, coat, ray_arrays, spec, coat_kinds):
+    tile = _tile_rows(ray_arrays[0].shape[0], TILE_ROWS_POL_FWD)
+    arrs, R = _pad_ray_arrays(ray_arrays, tile)
+    rows = arrs[0].shape[0]
+    grid = (rows // tile,)
+    dtype = arrs[0].dtype
+
+    ray_spec = pl.BlockSpec(
+        (tile, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(26)]
+    kernel = _make_fwd_kernel_pol(spec, coat_kinds)
+    interpret = jax.default_backend() == "cpu"
+    with mosaic_compile_ctx(interpret):
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+            + [ray_spec] * len(arrs),
+            out_specs=[ray_spec] * 26,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coeffs, coat, *arrs)
+    return tuple(o.reshape(-1)[:R] for o in outs)
+
+
+def _dp_rows_pol(spec):
+    S = len(spec[0])
+    nc = spec[4]
+    total = S * (NUM_P + nc + N_COAT)
+    rows = -(-total // LANE)
+    return max(8, -(-rows // 8) * 8)
+
+
+def _make_bwd_kernel_pol(spec, coat_kinds):
+    S = len(spec[0])
+    nc = spec[4]
+    n_param = S * NUM_P
+    n_coeff = S * nc
+    rows_dp = _dp_rows_pol(spec)
+
+    def kernel(*refs):
+        params_ref, coeffs_ref, coat_ref = refs[0], refs[1], refs[2]
+        in_refs = refs[3:11]
+        cot_refs = refs[11 : 11 + 26]
+        out_refs = refs[11 + 26 : 11 + 26 + 8]
+        dp_ref = refs[11 + 26 + 8]
+
+        pvals = tuple(
+            params_ref[s, c] for s in range(S) for c in range(NUM_P)
+        )
+        cvals = tuple(
+            coeffs_ref[s, ci] for s in range(S) for ci in range(nc)
+        )
+        covals = tuple(
+            coat_ref[s, ci] for s in range(S) for ci in range(N_COAT)
+        )
+        ins = [r[:] for r in in_refs]
+
+        def fwd_vals(pv, cv, cov, x, y, z, L, M, N, i, opd):
+            getp = lambda s, col: pv[s * NUM_P + col]
+            getc = lambda s, ci: cv[s * nc + ci]
+            getcoat = lambda s, ci: cov[s * N_COAT + ci]
+            return _chain_pol(
+                spec, coat_kinds, getp, getc, getcoat,
+                x, y, z, L, M, N, i, opd,
+            )
+
+        _, vjp = jax.vjp(fwd_vals, pvals, cvals, covals, *ins)
+        cot = tuple(r[:] for r in cot_refs)
+        dpv, dcv, dcov, *dray = vjp(cot)
+
+        for ref, val in zip(out_refs, dray):
+            ref[:] = val
+
+        g = pl.program_id(0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_dp, LANE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows_dp, LANE), 1)
+        lin = rows * LANE + cols
+        acc = jnp.zeros((rows_dp, LANE), dtype=dray[0].dtype)
+        for idx, v in enumerate(dpv):
+            acc = jnp.where(lin == idx, v, acc)
+        for jdx, v in enumerate(dcv):
+            acc = jnp.where(lin == n_param + jdx, v, acc)
+        for kdx, v in enumerate(dcov):
+            acc = jnp.where(lin == n_param + n_coeff + kdx, v, acc)
+
+        @pl.when(g == 0)
+        def _():
+            dp_ref[:] = acc
+
+        @pl.when(g > 0)
+        def _():
+            dp_ref[:] = dp_ref[:] + acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "coat_kinds"))
+def _pallas_bwd_pol(params, coeffs, coat, inputs, cotangents, spec,
+                    coat_kinds):
+    S = len(spec[0])
+    nc = spec[4]
+    rows_dp = _dp_rows_pol(spec)
+    tile = _tile_rows(inputs[0].shape[0], TILE_ROWS_POL_BWD)
+    arrs, R = _pad_ray_arrays(list(inputs) + list(cotangents), tile)
+    rows = arrs[0].shape[0]
+    grid = (rows // tile,)
+    dtype = arrs[0].dtype
+
+    ray_spec = pl.BlockSpec(
+        (tile, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    dp_spec = pl.BlockSpec(
+        (rows_dp, LANE), lambda g: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(8)]
+    out_shape.append(jax.ShapeDtypeStruct((rows_dp, LANE), dtype))
+    kernel = _make_bwd_kernel_pol(spec, coat_kinds)
+    interpret = jax.default_backend() == "cpu"
+    with mosaic_compile_ctx(interpret):
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+            + [ray_spec] * len(arrs),
+            out_specs=[ray_spec] * 8 + [dp_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(params, coeffs, coat, *arrs)
+    ray_grads = tuple(o.reshape(-1)[:R] for o in outs[:8])
+    flat = outs[8].reshape(-1)
+    dparams = flat[: S * NUM_P].reshape(S, NUM_P)
+    dcoeffs = flat[S * NUM_P : S * (NUM_P + nc)].reshape(S, nc)
+    dcoat = flat[
+        S * (NUM_P + nc) : S * (NUM_P + nc + N_COAT)
+    ].reshape(S, N_COAT)
+    return ray_grads, dparams, dcoeffs, dcoat
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _assemble_p(p_flat):
+    """(18 x (R,)) real channels -> complex (R, 3, 3). Jitted: the axon
+    (tunneled TPU) backend rejects this complex binary op in eager mode but
+    compiles it fine."""
+    return (
+        jnp.stack(p_flat[:9], axis=-1)
+        + 1j * jnp.stack(p_flat[9:], axis=-1)
+    ).reshape(p_flat[0].shape[0], 3, 3)
+
+
+def _coat_kinds(system):
+    from optiland_tpu.coatings import FresnelCoating, SimpleCoating
+
+    kinds = []
+    for c in system.cfg.coatings or (None,) * system.cfg.num_surfaces:
+        if c is None:
+            kinds.append("none")
+        elif type(c) is SimpleCoating:
+            kinds.append("simple")
+        elif type(c) is FresnelCoating:
+            kinds.append("fresnel")
+        else:
+            kinds.append("unsupported")
+    return tuple(kinds)
+
+
+def pallas_pol_supported(system) -> bool:
+    """True when trace_fast_pol covers this system's structure."""
+    from optiland_tpu.physical_apertures import RadialAperture
+
+    cfg = system.cfg
+    if cfg.interactions is not None and any(
+        i is not None for i in cfg.interactions
+    ):
+        return False
+    if cfg.apertures is not None and any(
+        a is not None and type(a) is not RadialAperture
+        for a in cfg.apertures
+    ):
+        return False
+    if cfg.bsdfs is not None and any(b is not None for b in cfg.bsdfs):
+        return False
+    if "unsupported" in _coat_kinds(system):
+        return False
+    return all(c in OK_CODES for c in cfg.geom_codes)
+
+
+def build_coat_table(system, wavelength):
+    """(S, N_COAT) coating scalar table: (n1, n2) for Fresnel coatings,
+    (T, R) for SimpleCoatings, zeros otherwise."""
+    cfg = system.cfg
+    S = cfg.num_surfaces
+    dt = system.stack.radius.dtype
+    rows = []
+    for s in range(S):
+        c = (cfg.coatings or (None,) * S)[s]
+        kind = _coat_kinds(system)[s]
+        if kind == "fresnel":
+            rows.append(jnp.stack([
+                jnp.ravel(jnp.asarray(c.material_pre.n(wavelength), dt))[0],
+                jnp.ravel(jnp.asarray(c.material_post.n(wavelength), dt))[0],
+            ]))
+        elif kind == "simple":
+            rows.append(jnp.asarray(
+                [c.transmittance, c.reflectance], dt
+            ))
+        else:
+            rows.append(jnp.zeros((N_COAT,), dt))
+    return jnp.stack(rows)
+
+
+def trace_fast_pol(system, rays, wavelength, newton_iters: int = 10):
+    """Fused polarized Pallas trace, monochromatic.
+
+    Equivalent to core.trace.trace on a polarized system (final ray state
+    plus the accumulated per-ray polarization matrix) for
+    pallas_pol_supported structures, with the Jones update running in-kernel
+    as real-pair arithmetic. Returns ``(RealRays, p)`` with ``p`` a complex
+    (R, 3, 3) array; the final polarized intensity is
+    ``polarization.polarized_intensity(p, state, rays.L, rays.M, rays.N,
+    out.i)`` as in the XLA path (optic/optic.py _trace_jit).
+
+    jax.grad composes through the in-kernel-VJP backward kernel.
+    """
+    from optiland_tpu.core.rays import RealRays
+
+    spec = _spec_of(system, newton_iters, poly=False)
+    coat_kinds = _coat_kinds(system)
+    params = build_param_table(system, wavelength)
+    coat = build_coat_table(system, wavelength)
+
+    dt = rays.x.dtype
+    if jax.default_backend() != "cpu" and dt == jnp.float64:
+        dt = jnp.float32
+    S = system.cfg.num_surfaces
+    coeffs = system.stack.coeffs.astype(dt)
+    if coeffs.shape[1] == 0:
+        coeffs = jnp.zeros((S, 1), dt)
+    params = params.astype(dt)
+    coat = coat.astype(dt)
+
+    @jax.custom_vjp
+    def _traced(params, coeffs, coat, *ray_in):
+        return _pallas_fwd_pol(
+            params, coeffs, coat, ray_in, spec=spec, coat_kinds=coat_kinds
+        )
+
+    def _fwd(params, coeffs, coat, *ray_in):
+        out = _traced(params, coeffs, coat, *ray_in)
+        return out, (params, coeffs, coat, ray_in)
+
+    def _bwd(res, g):
+        params, coeffs, coat, ray_in = res
+        ray_grads, dparams, dcoeffs, dcoat = _pallas_bwd_pol(
+            params, coeffs, coat, tuple(ray_in), tuple(g),
+            spec=spec, coat_kinds=coat_kinds,
+        )
+        if dcoeffs.shape != coeffs.shape:
+            dcoeffs = jnp.zeros_like(coeffs).at[
+                :, : dcoeffs.shape[1]
+            ].set(dcoeffs)
+        return (dparams, dcoeffs, dcoat) + ray_grads
+
+    _traced.defvjp(_fwd, _bwd)
+
+    ray_in = (rays.x, rays.y, rays.z, rays.L, rays.M, rays.N, rays.i,
+              rays.opd)
+    ray_in = tuple(a.astype(dt) for a in ray_in)
+    out = _traced(params, coeffs, coat, *ray_in)
+    x, y, z, L, M, N, i, opd = out[:8]
+    p = _assemble_p(tuple(out[8:]))
+    final = RealRays(x=x, y=y, z=z, L=L, M=M, N=N, i=i, w=rays.w, opd=opd)
+    return final, p
+
+
+__all__ = [
+    "trace_fast_pol",
+    "pallas_pol_supported",
+    "build_coat_table",
+]

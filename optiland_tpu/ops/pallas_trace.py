@@ -122,13 +122,19 @@ def _rot_global(x, y, z, L, M, N, rx, ry, rz):
 
 def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
                newton_iters, formula=None, getm=None, nm=0,
-               has_absorption=True, inner=False):
+               has_absorption=True, inner=False, want_extras=False):
     """One surface step on a ray tile (pure jnp; runs inside the kernels).
 
     ``getp(s, col)`` / ``getc(s, ci)`` return scalar surface parameters —
     SMEM reads in the forward kernel, traced values in the adjoint.
     ``state[-1]`` is the per-ray wavelength array in polychromatic mode
     (``formula``/``getm`` set), else None.
+
+    With ``want_extras`` the step additionally returns
+    ``(L0, M0, N0, L1, M1, N1, cos_aoi)`` — the local-frame pre- and
+    post-interaction directions and |cos(angle of incidence)| — which the
+    polarized kernel consumes for the Jones/p-matrix update
+    (reference: rays/polarized_rays.py:136-199, coatings.py:72-110).
     """
     x, y, z, L, M, N, inten, opd, n_pre, w = state
     radius = getp(s, P_RADIUS)
@@ -198,6 +204,7 @@ def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
     sgn = jnp.sign(dot)
     nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
     adot = jnp.abs(dot)
+    L0p, M0p, N0p = L, M, N  # local-frame pre-interaction directions
     if reflective:
         L = L - 2 * adot * nx
         M = M - 2 * adot * ny
@@ -218,13 +225,18 @@ def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
         N = u * N + nz * (root - u * adot)
         n_next = n_post
 
+    extras = (L0p, M0p, N0p, L, M, N, adot) if want_extras else None
+
     # ---- globalize ----
     if tilted:
         x, y, zl, L, M, N = _rot_global(x, y, zl, L, M, N, rx, ry, rz)
     x = x + getp(s, P_DX)
     y = y + getp(s, P_DY)
 
-    return (x, y, zl + pos, L, M, N, inten, opd, n_next, w)
+    out = (x, y, zl + pos, L, M, N, inten, opd, n_next, w)
+    if want_extras:
+        return out, extras
+    return out
 
 
 def _chain(spec, getp, getc, getm, x, y, z, L, M, N, i, opd, w=None):

@@ -69,6 +69,20 @@ def create_polarization(pol_type: str) -> PolarizationState:
     return PolarizationState(True, Ex, Ey, px, py)
 
 
+def complex_dtype(real_dtype):
+    """Complex dtype paired with a real working dtype.
+
+    f32 rays carry complex64 polarization matrices — the TPU-native pairing
+    (complex128 does not exist on TPU); f64 rays keep complex128 for
+    reference parity.
+    """
+    return (
+        jnp.complex64
+        if jnp.dtype(real_dtype) == jnp.float32
+        else jnp.complex128
+    )
+
+
 def _cross(a, b):
     return jnp.stack(
         [
@@ -220,19 +234,20 @@ class JonesFresnel(BaseJones):
         self.material_post = material_post
 
     def calculate_matrix(self, L0, M0, N0, L, M, N, w, reflect=False, aoi=None):
+        cd = complex_dtype(jnp.asarray(L0).dtype)
         n1 = jnp.asarray(self.material_pre.n(w))
         n2 = jnp.asarray(self.material_post.n(w))
         cos_i = jnp.cos(aoi)
         n = n2 / n1
-        root = jnp.sqrt((n**2 - jnp.sin(aoi) ** 2).astype(jnp.complex128))
+        root = jnp.sqrt((n**2 - jnp.sin(aoi) ** 2).astype(cd))
         R = L0.shape[0]
         if reflect:
             s = (cos_i - root) / (cos_i + root)
             p = (n**2 * cos_i - root) / (n**2 * cos_i + root)
-            return _diag3(R, s, -p, -jnp.ones(R, jnp.complex128))
+            return _diag3(R, s, -p, -jnp.ones(R, cd))
         s = 2 * cos_i / (cos_i + root)
         p = 2 * n * cos_i / (n**2 * cos_i + root)
-        return _diag3(R, s, p, jnp.ones(R, jnp.complex128))
+        return _diag3(R, s, p, jnp.ones(R, cd))
 
 
 class JonesLinearPolarizer(BaseJones):
@@ -259,7 +274,7 @@ class JonesLinearPolarizer(BaseJones):
         us_in, up_in = ts_in / norm_in, tp_in / norm_in
         us_out, up_out = ts_out / norm_out, tp_out / norm_out
         R = L0.shape[0]
-        out = jnp.zeros((R, 3, 3), jnp.complex128)
+        out = jnp.zeros((R, 3, 3), complex_dtype(jnp.asarray(L0).dtype))
         out = out.at[:, 0, 0].set(us_out * us_in)
         out = out.at[:, 0, 1].set(us_out * up_in)
         out = out.at[:, 1, 0].set(up_out * us_in)
@@ -298,7 +313,7 @@ class ConstantJones(BaseJones):
 
     def calculate_matrix(self, L0, M0, N0, L, M, N, w, reflect=False, aoi=None):
         R = L0.shape[0]
-        out = jnp.zeros((R, 3, 3), jnp.complex128)
+        out = jnp.zeros((R, 3, 3), complex_dtype(jnp.asarray(L0).dtype))
         out = out.at[:, 0, 0].set(self.j[0])
         out = out.at[:, 0, 1].set(self.j[1])
         out = out.at[:, 1, 0].set(self.j[2])
@@ -355,7 +370,7 @@ class JonesLinearDiattenuator(BaseJones):
         j0x = (self.t_max - self.t_min) * us * up
         j11 = self.t_max * up**2 + self.t_min * us**2
         R = L0.shape[0]
-        out = jnp.zeros((R, 3, 3), jnp.complex128)
+        out = jnp.zeros((R, 3, 3), complex_dtype(jnp.asarray(L0).dtype))
         out = out.at[:, 0, 0].set(j00)
         out = out.at[:, 0, 1].set(j0x)
         out = out.at[:, 1, 0].set(j0x)
@@ -378,7 +393,7 @@ class JonesLinearRetarder(BaseJones):
         j0x = -2j * jnp.sin(d / 2) * us * up
         j11 = jnp.exp(1j * d / 2) * us**2 + jnp.exp(-1j * d / 2) * up**2
         R = L0.shape[0]
-        out = jnp.zeros((R, 3, 3), jnp.complex128)
+        out = jnp.zeros((R, 3, 3), complex_dtype(jnp.asarray(L0).dtype))
         out = out.at[:, 0, 0].set(j00)
         out = out.at[:, 0, 1].set(j0x)
         out = out.at[:, 1, 0].set(j0x)
@@ -405,13 +420,14 @@ class JonesThinFilm(BaseJones):
         self.stack = stack
 
     def calculate_matrix(self, L0, M0, N0, L, M, N, w, reflect=False, aoi=None):
+        cd = complex_dtype(jnp.asarray(L0).dtype)
         rs, ts, _, _, _ = self.stack.compute_rtRTA(w, aoi, "s")
         rp, tp, _, _, _ = self.stack.compute_rtRTA(w, aoi, "p")
         R = L0.shape[0]
         if reflect:
             return _diag3(R, jnp.ravel(rs) * jnp.ones(R),
                           -jnp.ravel(rp) * jnp.ones(R),
-                          -jnp.ones(R, jnp.complex128))
+                          -jnp.ones(R, cd))
         return _diag3(R, jnp.ravel(ts) * jnp.ones(R),
                       jnp.ravel(tp) * jnp.ones(R),
-                      jnp.ones(R, jnp.complex128))
+                      jnp.ones(R, cd))
