@@ -33,6 +33,14 @@ from optiland_tpu.ops.pallas_trace import (  # noqa: E402
 )
 from optiland_tpu.samples import CookeTriplet  # noqa: E402
 
+# BENCH_SYSTEM selects the benchmarked class (default: the headline Cooke
+# triplet on the fused Pallas path). Other classes commit throughput
+# evidence for the non-headline paths (docs/PROFILE.md):
+#   tilted_asphere - Pallas kernel with in-kernel localize/globalize rotations
+#   polarized      - fused polarized kernel (ops/pallas_pol.py) + Jones math
+#   grating        - XLA fallback path (diffractive interaction model)
+#   grid_sag       - XLA fallback path (gather-based sag, no Pallas)
+BENCH_SYSTEM = os.environ.get("BENCH_SYSTEM", "cooke")
 NUM_RAYS = int(os.environ.get("BENCH_RAYS", 16_777_216))  # 2**24: multiple of the ray tile, so pad/slice are no-ops
 ITERS = int(os.environ.get("BENCH_ITERS", 4))
 # Steps fused inside one jitted fori_loop per timed call. The tunneled TPU
@@ -47,8 +55,72 @@ MESH_N = int(os.environ.get("BENCH_MESH", 0))
 WAVELENGTH = 0.55
 
 
+def _build_variant(name):
+    """(lens, pol_state) for a BENCH_SYSTEM variant."""
+    import numpy as _np
+
+    from optiland_tpu.optic import Optic
+
+    if name == "cooke":
+        return CookeTriplet(), None
+    if name == "tilted_asphere":
+        from optiland_tpu.samples import AsphericSinglet
+
+        o = AsphericSinglet()
+        # re-add the stop surface with a 1-degree tilt: exercises the
+        # in-kernel localize/globalize rotation path
+        o.surfaces.surfaces[1].rx = _np.radians(1.0)
+        return o, None
+    if name == "polarized":
+        from optiland_tpu.polarization import create_polarization
+
+        o = Optic()
+        o.surfaces.add(index=0, radius=_np.inf, thickness=_np.inf)
+        o.surfaces.add(index=1, radius=50.0, thickness=5.0,
+                       material="N-BK7", is_stop=True, coating="fresnel")
+        o.surfaces.add(index=2, radius=-50.0, thickness=45.0,
+                       coating="fresnel")
+        o.surfaces.add(index=3)
+        o.set_aperture("EPD", 20.0)
+        o.fields.set_type("angle")
+        o.fields.add(y=0)
+        o.wavelengths.add(0.55, is_primary=True)
+        o.set_polarization("H")
+        return o, create_polarization("H")
+    if name == "grating":
+        o = Optic()
+        o.surfaces.add(index=0, radius=_np.inf, thickness=_np.inf)
+        o.surfaces.add(index=1, radius=30.0, thickness=5.0,
+                       material="N-BK7", is_stop=True)
+        o.surfaces.add(index=2, radius=-30.0, thickness=5.0)
+        o.surfaces.add(index=3, surface_type="grating", thickness=20.0,
+                       grating_order=1, grating_period=10.0,
+                       groove_orientation_angle=0.3)
+        o.surfaces.add(index=4)
+    elif name == "grid_sag":
+        xs = _np.linspace(-8.1, 8.1, 34)
+        ys = _np.linspace(-8.1, 8.1, 34)
+        X, Y = _np.meshgrid(xs, ys)
+        sag = 1e-3 * (X**2 + 0.5 * Y**2)
+        o = Optic()
+        o.surfaces.add(index=0, radius=_np.inf, thickness=_np.inf)
+        o.surfaces.add(index=1, surface_type="grid_sag", thickness=6.0,
+                       material="N-BK7", is_stop=True,
+                       x_coordinates=list(xs), y_coordinates=list(ys),
+                       sag_values=sag.tolist())
+        o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+        o.surfaces.add(index=3)
+    else:
+        raise SystemExit(f"unknown BENCH_SYSTEM {name!r}")
+    o.set_aperture("EPD", 10.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.wavelengths.add(0.55, is_primary=True)
+    return o, None
+
+
 def main():
-    lens = CookeTriplet()
+    lens, pol_state = _build_variant(BENCH_SYSTEM)
     system = lens.system
     num_traced_surfaces = system.cfg.num_surfaces - 1
     on_tpu = jax.default_backend() != "cpu"
@@ -77,7 +149,18 @@ def main():
             sys_, H, jnp.full_like(Px, 0.7), Px, Py, WAVELENGTH
         )
 
+    use_pol = BENCH_SYSTEM == "polarized" and on_tpu
+
     def final_xy(sys_, rays_):
+        if use_pol:
+            from optiland_tpu.ops.pallas_pol import trace_fast_pol
+            from optiland_tpu.polarization import polarized_intensity
+
+            out, p = trace_fast_pol(sys_, rays_, WAVELENGTH)
+            i_pol = polarized_intensity(
+                p, pol_state, rays_.L, rays_.M, rays_.N, out.i
+            )
+            return out.x * i_pol, out.y * i_pol
         if use_pallas and mesh is not None:
             from optiland_tpu.parallel.sharded_trace import trace_fast_sharded
 
@@ -147,10 +230,13 @@ def main():
     rs_fwdbwd = NUM_RAYS * num_traced_surfaces / t_fwdbwd
     rs_fwd = NUM_RAYS * num_traced_surfaces / t_fwd
 
+    metric = "rays_surfaces_per_sec_fwdbwd"
+    if BENCH_SYSTEM != "cooke":
+        metric += f"_{BENCH_SYSTEM}"
     print(
         json.dumps(
             {
-                "metric": "rays_surfaces_per_sec_fwdbwd",
+                "metric": metric,
                 "value": rs_fwdbwd,
                 "unit": "ray-surf/s",
                 "vs_baseline": rs_fwdbwd / 2e8,
@@ -161,9 +247,11 @@ def main():
                     "t_fwdbwd_s": t_fwdbwd,
                     "t_fwd_s": t_fwd,
                     "kernel": (
-                        "pallas-field" if use_field
+                        "pallas-pol" if use_pol
+                        else "pallas-field" if use_field
                         else "pallas" if use_pallas else "xla"
                     ),
+                    "system": BENCH_SYSTEM,
                     "mesh": MESH_N or 1,
                     "device": str(jax.devices()[0]),
                 },

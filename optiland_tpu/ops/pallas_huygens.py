@@ -20,9 +20,16 @@ to TPU Pallas). Padded pupil lanes carry zero amplitude AND far-away
 coordinates so 1/R stays finite; padded image rows are discarded by the
 caller.
 
-Gradients: custom VJP whose backward differentiates the identical jnp
-formula (psf/huygens_fresnel.huygens_field) — exactness over speed on the
-rare PSF-gradient path, speed on the common forward path.
+Gradients: custom VJP backed by two more Pallas kernels that run the VJP of
+the identical pairwise block *inside* the kernel (jax.vjp at trace time, as
+in pallas_trace's adjoint): one kernel streams pupil blocks through a
+resident image tile to accumulate image-coordinate gradients, the other
+transposes the roles (resident pupil block, streamed image tiles +
+cotangents) to accumulate the per-pupil-point gradients. Neither
+materializes the O(P x Q) pairwise intermediates in HBM that the plain-jnp
+VJP would; peak memory is O(P + Q). The chain from the kernel's derived
+pupil arrays (unit normals, complex amplitude) back to (px, py, pz, amp,
+opd) is closed-form O(Q) jnp outside the kernels.
 """
 
 from __future__ import annotations
@@ -37,27 +44,27 @@ from jax.experimental.pallas import tpu as pltpu
 from optiland_tpu.ops.pallas_trace import mosaic_compile_ctx
 
 TILE_IMG = 256  # image points per program (sublane axis, f32 tile = 8)
+TILE_IMG_BWD = 128  # adjoint keeps more live values per pairwise block
 PUP_ROWS = 8  # pupil rows per grid step: 8 * 128 = 1024 points
 LANE = 128
 
 
-def _kernel(img_refs, pup_refs, k_ref, out_re_ref, out_im_ref):
-    ix_ref, iy_ref, iz_ref = img_refs
-    px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, pre_ref, pim_ref = pup_refs
+def _pair_accum(ix, iy, iz, prows, k):
+    """Coherent field of one (image tile, pupil block) pair.
 
-    q = pl.program_id(1)
-    k = k_ref[0]
-    ix = ix_ref[:]  # (TILE_IMG, 1)
-    iy = iy_ref[:]
-    iz = iz_ref[:]
-
+    ``ix/iy/iz``: (T, 1) image coordinates; ``prows``: 8 arrays of
+    (PUP_ROWS, LANE) pupil data (px, py, pz, nx, ny, nz, pre, pim).
+    Shared by the forward kernel and (through jax.vjp) both adjoint
+    kernels, so the adjoint differentiates the identical math.
+    """
+    px_a, py_a, pz_a, nx_a, ny_a, nz_a, pre_a, pim_a = prows
     acc_re = jnp.zeros_like(ix)
     acc_im = jnp.zeros_like(ix)
     for r in range(PUP_ROWS):
-        px = px_ref[r, :][None, :]  # (1, LANE)
-        py = py_ref[r, :][None, :]
-        pz = pz_ref[r, :][None, :]
-        dx = ix - px  # (TILE_IMG, LANE)
+        px = px_a[r, :][None, :]  # (1, LANE)
+        py = py_a[r, :][None, :]
+        pz = pz_a[r, :][None, :]
+        dx = ix - px  # (T, LANE)
         dy = iy - py
         dz = iz - pz
         R = jnp.sqrt(dx * dx + dy * dy + dz * dz)
@@ -66,18 +73,29 @@ def _kernel(img_refs, pup_refs, k_ref, out_re_ref, out_im_ref):
         cw = jnp.cos(kR) * inv_R
         sw = jnp.sin(kR) * inv_R
         dot = (
-            dx * nx_ref[r, :][None, :]
-            + dy * ny_ref[r, :][None, :]
-            + dz * nz_ref[r, :][None, :]
+            dx * nx_a[r, :][None, :]
+            + dy * ny_a[r, :][None, :]
+            + dz * nz_a[r, :][None, :]
         )
         obliq = 0.5 * (1.0 + dot * inv_R)
-        pre = pre_ref[r, :][None, :]
-        pim = pim_ref[r, :][None, :]
+        pre = pre_a[r, :][None, :]
+        pim = pim_a[r, :][None, :]
         # (pre + i pim) * (cw + i sw) * obliq, reduced over the lane axis
         term_re = (pre * cw - pim * sw) * obliq
         term_im = (pre * sw + pim * cw) * obliq
         acc_re = acc_re + jnp.sum(term_re, axis=1, keepdims=True)
         acc_im = acc_im + jnp.sum(term_im, axis=1, keepdims=True)
+    return acc_re, acc_im
+
+
+def _kernel(img_refs, pup_refs, k_ref, out_re_ref, out_im_ref):
+    q = pl.program_id(1)
+    k = k_ref[0]
+    ix = img_refs[0][:]
+    iy = img_refs[1][:]
+    iz = img_refs[2][:]
+    prows = tuple(r[:] for r in pup_refs)
+    acc_re, acc_im = _pair_accum(ix, iy, iz, prows, k)
 
     @pl.when(q == 0)
     def _():
@@ -152,6 +170,154 @@ def _pallas_field(img, pup, k, interpret=False):
     return out_re.ravel()[:P] + 1j * out_im.ravel()[:P]
 
 
+# ---------------------------------------------------------------------------
+# Adjoint kernels: in-kernel VJP of the pairwise block, O(P + Q) memory
+# ---------------------------------------------------------------------------
+
+
+def _bwd_img_kernel(img_refs, pup_refs, cot_refs, k_ref, dimg_refs):
+    """Image-coordinate gradients: resident image tile, streamed pupil."""
+    q = pl.program_id(1)
+    k = k_ref[0]
+    ix = img_refs[0][:]
+    iy = img_refs[1][:]
+    iz = img_refs[2][:]
+    prows = tuple(r[:] for r in pup_refs)
+
+    def f(ix, iy, iz):
+        return _pair_accum(ix, iy, iz, prows, k)
+
+    _, vjp = jax.vjp(f, ix, iy, iz)
+    grads = vjp((cot_refs[0][:], cot_refs[1][:]))
+
+    @pl.when(q == 0)
+    def _():
+        for ref, g in zip(dimg_refs, grads):
+            ref[:] = g
+
+    @pl.when(q > 0)
+    def _():
+        for ref, g in zip(dimg_refs, grads):
+            ref[:] = ref[:] + g
+
+
+def _bwd_pup_kernel(img_refs, pup_refs, cot_refs, k_ref, dpup_refs):
+    """Per-pupil-point gradients: resident pupil block, streamed image
+    tiles + cotangents (grid = (n_pup, n_img), image minor)."""
+    i = pl.program_id(1)
+    k = k_ref[0]
+    ix = img_refs[0][:]
+    iy = img_refs[1][:]
+    iz = img_refs[2][:]
+    prows = tuple(r[:] for r in pup_refs)
+
+    def f(*prows):
+        return _pair_accum(ix, iy, iz, prows, k)
+
+    _, vjp = jax.vjp(f, *prows)
+    grads = vjp((cot_refs[0][:], cot_refs[1][:]))
+
+    @pl.when(i == 0)
+    def _():
+        for ref, g in zip(dpup_refs, grads):
+            ref[:] = g
+
+    @pl.when(i > 0)
+    def _():
+        for ref, g in zip(dpup_refs, grads):
+            ref[:] = ref[:] + g
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_field_bwd(img, pup, g_re, g_im, k, interpret=False):
+    """Gradients of the pairwise summation w.r.t. the 3 image arrays and
+    the 8 derived pupil arrays, given the field cotangent (g_re, g_im)."""
+    P = img[0].shape[0]
+    Q = pup[0].shape[0]
+    dt = img[0].dtype if interpret else jnp.float32
+
+    tile_img = TILE_IMG_BWD
+    pad_p = (-P) % tile_img
+    img2 = [jnp.pad(a.astype(dt), (0, pad_p)).reshape(-1, 1) for a in img]
+    # padded image rows carry zero cotangent: by VJP linearity they add
+    # exactly zero to every pupil gradient
+    cot2 = [
+        jnp.pad(a.astype(dt), (0, pad_p)).reshape(-1, 1)
+        for a in (g_re, g_im)
+    ]
+
+    blk = PUP_ROWS * LANE
+    pad_q = (-Q) % blk
+    pup2 = []
+    for j, a in enumerate(pup):
+        fill = 1e6 if j < 3 else 0.0
+        pup2.append(
+            jnp.pad(a.astype(dt), (0, pad_q), constant_values=fill)
+            .reshape(-1, LANE)
+        )
+
+    n_img = (P + pad_p) // tile_img
+    n_pup = (Q + pad_q) // blk
+
+    img_spec_i = pl.BlockSpec(
+        (tile_img, 1), lambda i, q: (i, 0), memory_space=pltpu.VMEM
+    )
+    pup_spec_i = pl.BlockSpec(
+        (PUP_ROWS, LANE), lambda i, q: (q, 0), memory_space=pltpu.VMEM
+    )
+    k_arr = jnp.asarray(jnp.reshape(k, (1,)), dt)
+
+    with mosaic_compile_ctx(interpret):
+        # image-coordinate gradients (accumulate over pupil blocks)
+        def kern_img(*refs):
+            _bwd_img_kernel(
+                refs[:3], refs[3:11], refs[11:13], refs[13], refs[14:]
+            )
+
+        dimg = pl.pallas_call(
+            kern_img,
+            grid=(n_img, n_pup),
+            in_specs=[img_spec_i] * 3 + [pup_spec_i] * 8
+            + [img_spec_i] * 2
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[img_spec_i] * 3,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_img * tile_img, 1), dt)
+            ] * 3,
+            interpret=interpret,
+        )(*img2, *pup2, *cot2, k_arr)
+
+        # pupil gradients (transposed grid: accumulate over image tiles)
+        img_spec_p = pl.BlockSpec(
+            (tile_img, 1), lambda p, i: (i, 0), memory_space=pltpu.VMEM
+        )
+        pup_spec_p = pl.BlockSpec(
+            (PUP_ROWS, LANE), lambda p, i: (p, 0), memory_space=pltpu.VMEM
+        )
+
+        def kern_pup(*refs):
+            _bwd_pup_kernel(
+                refs[:3], refs[3:11], refs[11:13], refs[13], refs[14:]
+            )
+
+        dpup = pl.pallas_call(
+            kern_pup,
+            grid=(n_pup, n_img),
+            in_specs=[img_spec_p] * 3 + [pup_spec_p] * 8
+            + [img_spec_p] * 2
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[pup_spec_p] * 8,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pup * PUP_ROWS, LANE), dt)
+            ] * 8,
+            interpret=interpret,
+        )(*img2, *pup2, *cot2, k_arr)
+
+    dimg = tuple(d.ravel()[:P] for d in dimg)
+    dpup = tuple(d.ravel()[:Q] for d in dpup)
+    return dimg, dpup
+
+
 def huygens_field_pallas(
     image_x, image_y, image_z,
     pupil_x, pupil_y, pupil_z,
@@ -160,18 +326,14 @@ def huygens_field_pallas(
 ):
     """Drop-in replacement for psf.huygens_fresnel.huygens_field.
 
-    Forward runs the Pallas kernel; gradients fall back to the VJP of the
-    identical jnp formula so jax.grad through the PSF stays exact.
+    Forward and backward both run Pallas kernels; the adjoint executes the
+    VJP of the identical pairwise block inside the kernels, so jax.grad
+    through the PSF never materializes the O(P x Q) intermediates in HBM
+    (the reference's torch strategy autograds through the same loop,
+    reference: psf/huygens_fresnel_strategies.py:175).
     """
     k = 2.0 * jnp.pi / float(wavelength_mm)
     interpret = jax.default_backend() == "cpu"
-
-    def _jnp_ref(ix, iy, iz, px, py, pz, amp, opd):
-        from optiland_tpu.psf.huygens_fresnel import huygens_field
-
-        return huygens_field(
-            ix, iy, iz, px, py, pz, amp, opd, wavelength_mm, Rp
-        )
 
     @jax.custom_vjp
     def field(ix, iy, iz, px, py, pz, amp, opd):
@@ -187,10 +349,32 @@ def huygens_field_pallas(
     def _fwd(*args):
         return field(*args), args
 
-    @jax.jit  # whole-graph compile: some adjoint ops lack eager TPU kernels
+    @jax.jit  # whole-graph compile: keeps the chain ops off the eager path
     def _bwd(args, g):
-        out, vjp = jax.vjp(_jnp_ref, *args)
-        return vjp(g.astype(out.dtype))
+        ix, iy, iz, px, py, pz, amp, opd = args
+        # JAX complex-cotangent convention: zbar = dL/dRe(z) - i dL/dIm(z),
+        # so the real-pair cotangents are (Re(g), -Im(g))
+        g_re = jnp.real(g)
+        g_im = -jnp.imag(g)
+        c = jnp.cos(-k * opd)
+        s = jnp.sin(-k * opd)
+        phase_re = amp * c
+        phase_im = amp * s
+        nx, ny, nz = px / Rp, py / Rp, pz / Rp
+        dimg, dpup = _pallas_field_bwd(
+            (ix, iy, iz),
+            (px, py, pz, nx, ny, nz, phase_re, phase_im),
+            g_re, g_im, k, interpret=interpret,
+        )
+        dpx_k, dpy_k, dpz_k, dnx, dny, dnz, dpre, dpim = dpup
+        # chain the derived pupil arrays back to the primal inputs
+        damp = dpre * c + dpim * s
+        dopd = k * amp * (dpre * s - dpim * c)
+        dpx = dpx_k + dnx / Rp
+        dpy = dpy_k + dny / Rp
+        dpz = dpz_k + dnz / Rp
+        outs = (*dimg, dpx, dpy, dpz, damp, dopd)
+        return tuple(o.astype(a.dtype) for o, a in zip(outs, args))
 
     field.defvjp(_fwd, _bwd)
     return field(

@@ -46,7 +46,7 @@ def test_pallas_huygens_odd_sizes():
 
 
 def test_pallas_huygens_gradient_matches_jnp():
-    """Backward falls back to the jnp VJP — must equal grad of jnp path."""
+    """In-kernel adjoint must equal grad of the jnp path."""
     image, pupil, amp, opd, wl, Rp = _case(P=64, Q=96)
 
     def loss_fast(opd):
@@ -60,6 +60,30 @@ def test_pallas_huygens_gradient_matches_jnp():
     g_fast = jax.grad(loss_fast)(opd)
     g_ref = jax.grad(loss_ref)(opd)
     assert_allclose(g_fast, g_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_pallas_huygens_full_vjp_matches_jnp():
+    """Gradients w.r.t. every input (image coords, pupil coords, amplitude,
+    OPD) from the in-kernel adjoint equal the jnp VJP, including the
+    odd-size padding paths."""
+    image, pupil, amp, opd, wl, Rp = _case(P=85, Q=137, seed=3)
+
+    def loss(fn, args):
+        ix, iy, iz, px, py, pz, a, o = args
+        f = fn(ix, iy, iz, px, py, pz, a, o, wl, Rp)
+        return jnp.sum(jnp.abs(f) ** 2) + jnp.sum(jnp.imag(f))
+
+    args = (*image, *pupil, amp, opd)
+    g_fast = jax.grad(
+        lambda *a: loss(huygens_field_pallas, a), argnums=tuple(range(8))
+    )(*args)
+    g_ref = jax.grad(
+        lambda *a: loss(huygens_field, a), argnums=tuple(range(8))
+    )(*args)
+    names = ("ix", "iy", "iz", "px", "py", "pz", "amp", "opd")
+    for name, gf, gr in zip(names, g_fast, g_ref):
+        scale = max(1.0, float(jnp.abs(gr).max()))
+        assert_allclose(gf / scale, gr / scale, rtol=1e-6, atol=1e-9)
 
 
 def test_huygens_psf_class_unchanged_on_cpu():
