@@ -204,6 +204,69 @@ class SurfaceService:
         optic._invalidate()
         self.c.notify("stop_changed", index=row)
 
+    # ---- per-surface-type extended parameters ----
+    # (reference: lens_editor.py surface-type delegates expose the extra
+    # columns of each surface type; here they map onto the SurfaceDef's
+    # generic geo_p1/geo_p2/geo_aux/coefficients storage)
+
+    def get_type_params(self, row: int) -> dict:
+        """Editable extended parameters for the surface's current type."""
+        s = self.c.get_optic().surfaces.surfaces[row]
+        t = s.surface_type or "standard"
+        coeffs = list(np.ravel(np.asarray(s.coefficients, float))) if (
+            np.size(s.coefficients)
+        ) else []
+        if t in ("even_asphere", "odd_asphere", "polynomial"):
+            return {"coefficients": coeffs}
+        if t == "chebyshev":
+            return {"norm_x": float(s.geo_p1), "norm_y": float(s.geo_p2),
+                    "coefficients": coeffs}
+        if t == "zernike":
+            return {"norm_radius": float(s.geo_p1),
+                    "zernike_type": s.geo_aux[0] if s.geo_aux else "fringe",
+                    "coefficients": coeffs}
+        if t == "biconic":
+            return {"radius_y": float(s.geo_p1), "conic_y": float(s.geo_p2)}
+        if t == "toroidal":
+            return {"radius_y": float(s.geo_p1), "coefficients": coeffs}
+        if t == "paraxial":
+            return {"focal_length": float(s.geo_p1)}
+        if t == "grating":
+            order = s.geo_aux[1] if s.geo_aux else 0
+            return {"grating_period": float(s.geo_p1),
+                    "groove_orientation_angle": float(s.geo_p2),
+                    "grating_order": int(order)}
+        if t in ("forbes_qbfs", "forbes_q2d"):
+            return {"norm_radius": float(s.geo_p1), "coefficients": coeffs}
+        return {}
+
+    def set_type_params(self, row: int, **params):
+        """Write extended parameters back (undoable, notifies)."""
+        self.c.snapshot()
+        optic = self.c.get_optic()
+        s = optic.surfaces.surfaces[row]
+        t = s.surface_type or "standard"
+        for key, value in params.items():
+            if key == "coefficients":
+                s.coefficients = tuple(float(v) for v in value)
+            elif key in ("norm_x", "radius_y", "norm_radius",
+                         "focal_length", "grating_period"):
+                s.geo_p1 = float(value)
+            elif key in ("norm_y", "conic_y",
+                         "groove_orientation_angle"):
+                s.geo_p2 = float(value)
+            elif key == "zernike_type":
+                s.geo_aux = (str(value),)
+            elif key == "grating_order":
+                s.geo_aux = ("grating", int(value))
+            else:
+                raise KeyError(
+                    f"{key!r} is not an editable parameter of "
+                    f"surface type {t!r}"
+                )
+        optic._invalidate()
+        self.c.notify("surface_changed", row=row, col=0)
+
 
 class SystemService:
     """Aperture / field / wavelength configuration

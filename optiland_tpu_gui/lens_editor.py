@@ -169,4 +169,64 @@ class LensEditor(QWidget):
         menu.addAction("Insert surface after", self._add_surface)
         menu.addAction("Remove surface", self._remove_surface)
         menu.addAction("Make stop", self._make_stop)
+        menu.addAction("Edit type parameters...", self._edit_type_params)
         menu.exec(self.table.viewport().mapToGlobal(pos))
+
+    def _edit_type_params(self):
+        """Per-surface-type extended parameter editor (reference:
+        lens_editor.py surface-type delegates). The form is generated from
+        SurfaceService.get_type_params and written back through
+        set_type_params (undoable)."""
+        row = self._current_row()
+        if row < 0:
+            return
+        params = self.svc.get_type_params(row)
+        if not params:
+            return
+        from optiland_tpu_gui.qt import (
+            QFormLayout,
+            QLineEdit,
+            QPushButton,
+            QVBoxLayout,
+            QWidget,
+        )
+
+        dlg = QWidget(self, Qt.WindowType.Window)
+        dlg.setWindowTitle(f"Surface {row} type parameters")
+        form = QFormLayout()
+        editors = {}
+        for key, val in params.items():
+            w = QLineEdit(dlg)
+            if isinstance(val, (list, tuple)):
+                w.setText(", ".join(f"{v:g}" for v in val))
+            else:
+                w.setText(str(val))
+            editors[key] = w
+            form.addRow(key, w)
+        apply_btn = QPushButton("Apply", dlg)
+
+        def _apply():
+            out = {}
+            try:
+                for key, w in editors.items():
+                    text = w.text().strip()
+                    if isinstance(params[key], (list, tuple)):
+                        out[key] = [
+                            float(p) for p in text.split(",") if p.strip()
+                        ]
+                    elif isinstance(params[key], str):
+                        out[key] = text
+                    elif isinstance(params[key], int):
+                        out[key] = int(float(text))
+                    else:
+                        out[key] = float(text)
+                self.svc.set_type_params(row, **out)
+                dlg.close()
+            except (ValueError, KeyError):
+                pass  # leave the dialog open on bad input
+
+        apply_btn.clicked.connect(_apply)
+        lay = QVBoxLayout(dlg)
+        lay.addLayout(form)
+        lay.addWidget(apply_btn)
+        dlg.show()

@@ -30,11 +30,15 @@ from optiland_tpu_gui.widgets.toast import show_toast
 
 
 class MainWindow(QMainWindow):
-    def __init__(self, optic=None, parent=None):
+    def __init__(self, optic=None, parent=None, session_path=None):
         super().__init__(parent)
         self.setWindowTitle(config.APP_NAME)
+        self.setObjectName("main_window")
         self.resize(*config.DEFAULT_WINDOW_SIZE)
 
+        from optiland_tpu.services.gui_support import SessionStore
+
+        self.session = SessionStore(session_path)
         self.connector = OptilandConnector(optic, parent=self)
         self.actions_mgr = ActionManager(self)
         self.panels = PanelManager(self)
@@ -44,7 +48,8 @@ class MainWindow(QMainWindow):
         self._build_sidebar()
         self._build_actions()
         self._build_menus()
-        self.set_theme(config.DEFAULT_THEME)
+        self.set_theme(self.session.get("theme", config.DEFAULT_THEME))
+        self._restore_layout()
 
         self.connector.opticLoaded.connect(
             lambda: self.statusBar().showMessage("System loaded", 3000)
@@ -137,6 +142,9 @@ class MainWindow(QMainWindow):
         for key in ("new", "open", "save"):
             m_file.addAction(a.get(key))
         m_file.addSeparator()
+        self.recent_menu = m_file.addMenu("Open &Recent")
+        self._rebuild_recent_menu()
+        m_file.addSeparator()
         for key in ("import_zmx", "import_seq", "export_zmx", "export_seq"):
             m_file.addAction(a.get(key))
         m_file.addSeparator()
@@ -171,25 +179,29 @@ class MainWindow(QMainWindow):
         except Exception as err:
             QMessageBox.critical(self, "Error", f"{type(err).__name__}: {err}")
 
-    def _open(self):
-        path = self._pick(False, "Optiland JSON (*.json)")
+    def _open(self, path=None):
+        path = path or self._pick(False, "Optiland JSON (*.json)")
         if path:
             self._guarded(self.connector.file.load, path)
+            self._note_recent(path)
 
     def _save(self):
         path = self._pick(True, "Optiland JSON (*.json)")
         if path:
             self._guarded(self.connector.file.save, path)
+            self._note_recent(path)
 
     def _import_zmx(self):
         path = self._pick(False, "Zemax (*.zmx)")
         if path:
             self._guarded(self.connector.file.import_zemax, path)
+            self._note_recent(path)
 
     def _import_seq(self):
         path = self._pick(False, "CODE V (*.seq)")
         if path:
             self._guarded(self.connector.file.import_codev, path)
+            self._note_recent(path)
 
     def _export_zmx(self):
         path = self._pick(True, "Zemax (*.zmx)")
@@ -201,6 +213,56 @@ class MainWindow(QMainWindow):
         if path:
             self._guarded(self.connector.file.export_codev, path)
 
+    # ---------------- recent files / session persistence ----------------
+
+    def _note_recent(self, path: str):
+        self.session.add_recent_file(path)
+        self._rebuild_recent_menu()
+
+    def _rebuild_recent_menu(self):
+        from optiland_tpu_gui.qt import QAction
+
+        self.recent_menu.clear()
+        files = self.session.recent_files
+        self.recent_menu.setEnabled(bool(files))
+        for path in files:
+            act = QAction(path, self)
+            act.triggered.connect(lambda _=False, p=path: self._open_recent(p))
+            self.recent_menu.addAction(act)
+
+    def _open_recent(self, path: str):
+        import os
+
+        if path.endswith(".zmx"):
+            self._guarded(self.connector.file.import_zemax, path)
+        elif path.endswith(".seq"):
+            self._guarded(self.connector.file.import_codev, path)
+        elif os.path.exists(path):
+            self._guarded(self.connector.file.load, path)
+        else:
+            self.session.remove_recent_file(path)
+            self._rebuild_recent_menu()
+            return
+        self._note_recent(path)
+
+    def _restore_layout(self):
+        """Window geometry + dock layout from the previous session
+        (reference: main_window.py QSettings restoreGeometry/State)."""
+        geo = self.session.get_layout("geometry")
+        state = self.session.get_layout("window_state")
+        if geo:
+            self.restoreGeometry(geo)
+        if state:
+            self.restoreState(state)
+
+    def closeEvent(self, event):  # noqa: N802 (Qt naming)
+        try:
+            self.session.set_layout("geometry", bytes(self.saveGeometry()))
+            self.session.set_layout("window_state", bytes(self.saveState()))
+        except Exception:
+            pass
+        super().closeEvent(event)
+
     # ---------------- theming ----------------
 
     def set_theme(self, name: str):
@@ -208,6 +270,7 @@ class MainWindow(QMainWindow):
         if app is not None:
             app.setStyleSheet(config.get_stylesheet(name))
         apply_plot_theme(name == "dark")
+        self.session.set("theme", name)
         from optiland_tpu.visualization import set_theme as set_plot_theme
 
         try:

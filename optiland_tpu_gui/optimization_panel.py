@@ -1,11 +1,20 @@
-"""Optimization panel — operand/variable tables + optimizer run
-(reference: optiland_gui/optimization_panel.py, 1,257 LoC;
+"""Optimization panel — operand/variable tables, async optimizer run with
+live merit curve, progress and cancel
+(reference: optiland_gui/optimization_panel.py, 1,257 LoC, which threads
+its optimizer and emits per-iteration signals;
 services/optimization_service.py).
+
+The optimization itself runs on a worker thread
+(optiland_tpu.services.gui_support.OptimizationWorker); per-iteration
+progress crosses into the UI thread through queued Qt signals, so the
+window stays responsive and the run can be cancelled.
 """
 
 from __future__ import annotations
 
 import traceback
+
+from optiland_tpu.services.gui_support import OptimizationWorker
 
 from optiland_tpu_gui.qt import (
     QComboBox,
@@ -17,10 +26,16 @@ from optiland_tpu_gui.qt import (
     QTableWidgetItem,
     QVBoxLayout,
     QWidget,
+    Signal,
 )
 
 OPERAND_COLS = ("Type", "Target", "Weight", "Extra (k=v,...)")
 VARIABLE_COLS = ("Type", "Surface", "Min", "Max")
+
+OPTIMIZERS = (
+    "generic", "least_squares", "orthogonal_descent", "dual_annealing",
+    "differential_evolution", "optax", "glass_expert",
+)
 
 
 def _table(cols, parent):
@@ -30,10 +45,16 @@ def _table(cols, parent):
 
 
 class OptimizationPanel(QWidget):
+    # emitted from the worker thread; queued delivery lands on the UI thread
+    progressed = Signal(int, float, float)  # iteration, merit, elapsed_s
+    finished = Signal(object, object)  # result, error
+
     def __init__(self, connector, parent=None):
         super().__init__(parent)
         self.connector = connector
         self.svc = connector.optimization
+        self.worker: OptimizationWorker | None = None
+        self._merits: list[float] = []
 
         self.operand_table = _table(OPERAND_COLS, self)
         self.variable_table = _table(VARIABLE_COLS, self)
@@ -44,17 +65,24 @@ class OptimizationPanel(QWidget):
         btn_add_var.clicked.connect(lambda: self._add_row(self.variable_table))
 
         self.optimizer_combo = QComboBox(self)
-        self.optimizer_combo.addItems(
-            ["generic", "least_squares", "orthogonal_descent",
-             "dual_annealing", "differential_evolution", "glass_expert"]
-        )
+        self.optimizer_combo.addItems(list(OPTIMIZERS))
         self.run_btn = QPushButton("Optimize", self)
         self.run_btn.clicked.connect(self.run)
+        self.cancel_btn = QPushButton("Cancel", self)
+        self.cancel_btn.clicked.connect(self.cancel)
+        self.cancel_btn.setEnabled(False)
         self.undo_btn = QPushButton("Undo Optimization", self)
         self.undo_btn.clicked.connect(connector.undo)
+        self.status = QLabel("idle", self)
+
+        from optiland_tpu_gui.analysis_panel import make_canvas
+
+        self.canvas, self.figure = make_canvas()
+        self.canvas.setMaximumHeight(220)
 
         self.log = QPlainTextEdit(self)
         self.log.setReadOnly(True)
+        self.log.setMaximumHeight(110)
 
         layout = QVBoxLayout(self)
         layout.addWidget(QLabel("Merit function operands"))
@@ -67,9 +95,17 @@ class OptimizationPanel(QWidget):
         row.addWidget(QLabel("Optimizer"))
         row.addWidget(self.optimizer_combo, 1)
         row.addWidget(self.run_btn)
+        row.addWidget(self.cancel_btn)
         row.addWidget(self.undo_btn)
+        row.addWidget(self.status)
         layout.addLayout(row)
+        layout.addWidget(self.canvas)
         layout.addWidget(self.log)
+
+        self.progressed.connect(self._on_progress_ui)
+        self.finished.connect(self._on_done_ui)
+
+    # ---------------- table helpers ----------------
 
     @staticmethod
     def _add_row(table):
@@ -125,19 +161,76 @@ class OptimizationPanel(QWidget):
             specs.append(spec)
         return specs
 
+    # ---------------- async run ----------------
+
     def run(self):
+        if self.worker is not None and self.worker.running:
+            return
         try:
             self.svc.build_problem(
                 self._operand_specs(), self._variable_specs()
             )
-            before = float(self.svc.problem.sum_squared())
-            result = self.svc.run(self.optimizer_combo.currentText())
-            after = float(self.svc.problem.sum_squared())
-            self.log.appendPlainText(
-                f"merit: {before:.6g} -> {after:.6g}\n{result}"
-            )
+            self._before = float(self.svc.problem.sum_squared())
         except Exception as err:
             self.log.appendPlainText(
                 f"{type(err).__name__}: {err}\n"
                 + traceback.format_exc(limit=3)
             )
+            return
+        self._merits = [self._before]
+        self._draw_curve()
+        self.worker = OptimizationWorker(
+            self.svc,
+            on_progress=lambda p: self.progressed.emit(
+                p.iteration, p.merit, p.elapsed_s
+            ),
+            on_done=lambda r, e: self.finished.emit(r, e),
+        )
+        self.run_btn.setEnabled(False)
+        self.cancel_btn.setEnabled(True)
+        self.status.setText("running...")
+        self.worker.start(self.optimizer_combo.currentText())
+
+    def cancel(self):
+        if self.worker is not None:
+            self.worker.cancel()
+            self.status.setText("cancelling...")
+
+    # ---------------- UI-thread slots ----------------
+
+    def _on_progress_ui(self, iteration, merit, elapsed):
+        self._merits.append(merit)
+        self.status.setText(
+            f"iter {iteration}  merit {merit:.6g}  ({elapsed:.1f}s)"
+        )
+        self._draw_curve()
+
+    def _on_done_ui(self, result, error):
+        self.run_btn.setEnabled(True)
+        self.cancel_btn.setEnabled(False)
+        if error:
+            self.status.setText("error")
+            self.log.appendPlainText(str(error))
+        elif self.worker is not None and self.worker.cancelled:
+            self.status.setText("cancelled")
+            self.log.appendPlainText("optimization cancelled")
+        else:
+            try:
+                after = float(self.svc.problem.sum_squared())
+                self.status.setText("done")
+                self.log.appendPlainText(
+                    f"merit: {self._before:.6g} -> {after:.6g}\n{result}"
+                )
+            except Exception as err:
+                self.log.appendPlainText(f"{type(err).__name__}: {err}")
+        self.connector.opticChanged.emit()
+
+    def _draw_curve(self):
+        self.figure.clear()
+        ax = self.figure.add_subplot(111)
+        ax.plot(range(len(self._merits)), self._merits, "-o", ms=3)
+        ax.set_xlabel("iteration")
+        ax.set_ylabel("merit")
+        if len(self._merits) > 1 and min(self._merits) > 0:
+            ax.set_yscale("log")
+        self.canvas.draw_idle()

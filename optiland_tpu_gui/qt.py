@@ -15,6 +15,7 @@ try:
     from PySide6.QtGui import QAction, QKeySequence  # noqa: F401
     from PySide6.QtWidgets import (  # noqa: F401
         QApplication,
+        QCheckBox,
         QComboBox,
         QDockWidget,
         QDoubleSpinBox,
