@@ -17,9 +17,14 @@ from optiland_tpu.core.system import System
 
 
 def spot_coordinates(system: System, Hx, Hy, Px, Py, wavelength):
-    """Image-plane (x, y, intensity) for a bundle (functional, jittable)."""
+    """Image-plane (x, y, intensity) for a bundle (functional, jittable).
+
+    When ``wavelength`` is a concrete Python float the trace dispatches to
+    the fused Pallas kernel on accelerator backends (core/trace.trace)."""
     rays = raygen.generate_rays(system, Hx, Hy, Px, Py, wavelength)
-    final, _ = trace_core.trace(system, rays, record=False)
+    final, _ = trace_core.trace(
+        system, rays, record=False, wavelength=wavelength
+    )
     return final.x, final.y, final.i
 
 

@@ -485,4 +485,14 @@ def distance_static(
         dfdt = jnp.where(jnp.abs(dfdt) > 1e-14, dfdt, 1e-14)
         return t - f_val / dfdt
 
-    return lax.fori_loop(0, NEWTON_ITERS, body, t0)
+    t = lax.fori_loop(0, NEWTON_ITERS, body, t0)
+    # Implicit-function-theorem gradient: the root satisfies f(t, θ) = 0,
+    # so ∂t/∂θ = -f_θ/f_t — discard the iteration loop's parameter
+    # dependence (stop_gradient) and apply ONE differentiable Newton
+    # correction around the converged root. Forward value is unchanged
+    # (the correction is ~0 at convergence); the adjoint differentiates a
+    # single sag evaluation instead of all NEWTON_ITERS of them.
+    t = lax.stop_gradient(t)
+    f_val, dfdt = jax.jvp(f_of_t, (t,), (jnp.ones_like(t),))
+    dfdt = jnp.where(jnp.abs(dfdt) > 1e-14, dfdt, 1e-14)
+    return t - f_val / dfdt

@@ -91,7 +91,7 @@ def _newton_uv(residual_fn, u, v, iters: int = 24):
     """
     import jax
 
-    for _ in range(iters):
+    def step(u, v):
         (f1, f2), (df1_du, df2_du) = jax.jvp(
             residual_fn, (u, v), (jnp.ones_like(u), jnp.zeros_like(v))
         )
@@ -102,9 +102,17 @@ def _newton_uv(residual_fn, u, v, iters: int = 24):
         det = jnp.where(jnp.abs(det) < 1e-14, 1e-14, det)
         du = (f1 * df2_dv - f2 * df1_dv) / det
         dv = (f2 * df1_du - f1 * df2_du) / det
-        u = jnp.clip(u - du, 0.0, 1.0)
-        v = jnp.clip(v - dv, 0.0, 1.0)
-    return u, v
+        return jnp.clip(u - du, 0.0, 1.0), jnp.clip(v - dv, 0.0, 1.0)
+
+    for _ in range(iters):
+        u, v = step(u, v)
+    # implicit-function-theorem gradient (see geometry.distance_static):
+    # discard the 24 iterations' parameter dependence and differentiate a
+    # single 2x2 Newton correction around the converged root — the
+    # adjoint transposes one residual evaluation instead of 24
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    return step(u, v)
 
 
 def sag(coeffs, aux, x, y):

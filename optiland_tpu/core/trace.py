@@ -277,7 +277,8 @@ def _engine_mode() -> str:
     return mode
 
 
-def trace(system: System, rays: RealRays, record: bool = True, key=None):
+def trace(system: System, rays: RealRays, record: bool = True, key=None,
+          wavelength=None):
     """Trace a ray bundle through every surface of the system.
 
     Args:
@@ -288,6 +289,12 @@ def trace(system: System, rays: RealRays, record: bool = True, key=None):
             incl. the object-surface row,
             reference: surfaces/surface_group.py:108-153).
         key: PRNG key, required when any surface has a BSDF.
+        wavelength: optional CONCRETE scalar (Python/NumPy float). When
+            given on an accelerator backend with record=False, the trace
+            dispatches to the fused Pallas kernels (monochromatic
+            trace_fast, or trace_fast_pol for polarized systems) — the
+            TPU hot path — with identical semantics for supported
+            structures. A traced value or None keeps the XLA path.
 
     Returns:
         (final_rays, history) — history is a dict of (S, R) arrays
@@ -296,6 +303,23 @@ def trace(system: System, rays: RealRays, record: bool = True, key=None):
         final per-ray polarization matrices under "p".
     """
     stack, cfg = system.stack, system.cfg
+    if (
+        not record
+        and key is None
+        and isinstance(wavelength, (int, float, np.floating))
+        and jax.default_backend() != "cpu"
+    ):
+        from optiland_tpu.ops import pallas_pol, pallas_trace
+
+        if cfg.polarized and pallas_pol.pallas_pol_supported(system):
+            out, p = pallas_pol.trace_fast_pol(
+                system, rays, float(wavelength)
+            )
+            out = out.replace(L0=rays.L, M0=rays.M, N0=rays.N)
+            return out, {"p": p}
+        if not cfg.polarized and pallas_trace.pallas_supported(system):
+            out = pallas_trace.trace_fast(system, rays, float(wavelength))
+            return out, None
     # Deep systems: the unrolled graph's XLA compile time is
     # O(num_surfaces) and dominates test/analysis wall-clock (a
     # 24-surface .zmx compiles for >60 s); the scan body compiles once

@@ -178,6 +178,13 @@ def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
             f_val, dfdt = jax.jvp(f_of_t, (t,), (jnp.ones_like(t),))
             dfdt = jnp.where(jnp.abs(dfdt) > 1e-14, dfdt, 1e-14)
             t = t - f_val / dfdt
+        # implicit-function-theorem gradient (see geometry.distance_static):
+        # the in-kernel VJP transposes ONE sag evaluation, not newton_iters
+        # of them — the stopped loop is dead code in the adjoint
+        t = jax.lax.stop_gradient(t)
+        f_val, dfdt = jax.jvp(f_of_t, (t,), (jnp.ones_like(t),))
+        dfdt = jnp.where(jnp.abs(dfdt) > 1e-14, dfdt, 1e-14)
+        t = t - f_val / dfdt
 
     # ---- propagate + absorption + OPD + clip ----
     x = x + t * L

@@ -520,7 +520,11 @@ def _trace_jit():
         rays = raygen.generate_rays(
             system, Hx, Hy, Px, Py, wavelength, apodization=apodization
         )
-        final, history = trace_core.trace(system, rays, record=record, key=key)
+        # wavelength is static (a Python float): record=False traces
+        # dispatch to the fused Pallas kernels on accelerator backends
+        final, history = trace_core.trace(
+            system, rays, record=record, key=key, wavelength=wavelength
+        )
         if system.cfg.polarized:
             from optiland_tpu.polarization import polarized_intensity
 
@@ -532,7 +536,10 @@ def _trace_jit():
             history["i0"] = rays.i
         return final, history
 
-    return jax.jit(run, static_argnames=("record", "apodization", "pol_state"))
+    return jax.jit(
+        run,
+        static_argnames=("wavelength", "record", "apodization", "pol_state"),
+    )
 
 
 @functools.lru_cache(maxsize=32)
@@ -1088,6 +1095,7 @@ class Optic:
         (reference: raytrace/real_ray_tracer.py:58-118)."""
         if wavelength is None:
             wavelength = self.primary_wavelength
+        wavelength = float(wavelength)  # static under jit (hashable)
         if isinstance(distribution, str):
             distribution = create_distribution(distribution)
             distribution.generate_points(num_rays)
@@ -1122,6 +1130,7 @@ class Optic:
             np.atleast_1d(np.asarray(Px, float)),
             np.atleast_1d(np.asarray(Py, float)),
         )
+        wavelength = float(wavelength)
         if self._aimer is not None and self._aimer.name != "paraxial":
             return self._aimed_trace(Hx, Hy, Px, Py, wavelength, record)
         final, history = _trace_jit()(

