@@ -178,6 +178,51 @@ def _update_p_tile(p_re, p_im, k0, k1, diag):
     return new_re, new_im
 
 
+def _exit_intensity_tile(p_re, p_im, k0, i0, pol_scalars):
+    """Polarized exit intensity on a tile (real-pair form of
+    polarization.polarized_intensity; reference: polarized_rays.py:96-134).
+
+    ``k0`` are the LAUNCH directions, ``i0`` the launch intensity,
+    ``pol_scalars`` either None (unpolarized: average of the two
+    orthogonal basis states) or the 4-tuple (Ex, Ey, phase_x, phase_y).
+    """
+    kx, ky, kz = k0
+    # launch-space s/p basis (get_3d_electric_field): p = k x xhat
+    px_, py_, pz_ = _cross3(k0, (jnp.ones_like(kx), jnp.zeros_like(kx),
+                                 jnp.zeros_like(kx)))
+    norm = jnp.sqrt(px_ * px_ + py_ * py_ + pz_ * pz_)
+    inv = jnp.where(norm == 0, 1.0, norm)
+    px_, py_, pz_ = px_ / inv, py_ / inv, pz_ / inv
+    sx, sy, sz = _cross3((px_, py_, pz_), k0)
+
+    if pol_scalars is None:
+        states = [(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0)]
+    else:
+        states = [pol_scalars]
+    total = jnp.zeros_like(i0)
+    for Ex, Ey, phx, phy in states:
+        # E0 = Ex e^{i phx} s + Ey e^{i phy} p  (real pairs)
+        import math
+
+        cx, sx_ph = math.cos(phx), math.sin(phx)
+        cy, sy_ph = math.cos(phy), math.sin(phy)
+        e_re = [Ex * cx * sx + Ey * cy * px_,
+                Ex * cx * sy + Ey * cy * py_,
+                Ex * cx * sz + Ey * cy * pz_]
+        e_im = [Ex * sx_ph * sx + Ey * sy_ph * px_,
+                Ex * sx_ph * sy + Ey * sy_ph * py_,
+                Ex * sx_ph * sz + Ey * sy_ph * pz_]
+        for row in range(3):
+            ar = ai = 0.0
+            for col in range(3):
+                ar = ar + (p_re[row][col] * e_re[col]
+                           - p_im[row][col] * e_im[col])
+                ai = ai + (p_re[row][col] * e_im[col]
+                           + p_im[row][col] * e_re[col])
+            total = total + ar * ar + ai * ai
+    return total * i0 / len(states)
+
+
 def _chain_pol(spec, coat_kinds, getp, getc, getcoat,
                x, y, z, L, M, N, i, opd):
     """Full polarized surface chain on a tile: ray state + p matrix.
@@ -221,12 +266,30 @@ def _chain_pol(spec, coat_kinds, getp, getc, getcoat,
     return tuple(state[:8]) + tuple(flat_p)
 
 
+def _chain_pol_intensity(spec, coat_kinds, pol_scalars, getp, getc, getcoat,
+                         x, y, z, L, M, N, i, opd):
+    """Polarized chain that folds the exit-intensity computation in-tile:
+    returns the 8 ray arrays with ``i`` replaced by the polarized
+    intensity — no p-matrix channels ever touch HBM."""
+    k0 = (L, M, N)
+    i0 = i
+    out = _chain_pol(spec, coat_kinds, getp, getc, getcoat,
+                     x, y, z, L, M, N, i, opd)
+    ray_out = list(out[:8])
+    p_flat = out[8:]
+    p_re = [[p_flat[r * 3 + c] for c in range(3)] for r in range(3)]
+    p_im = [[p_flat[9 + r * 3 + c] for c in range(3)] for r in range(3)]
+    ray_out[6] = _exit_intensity_tile(p_re, p_im, k0, i0, pol_scalars)
+    return tuple(ray_out)
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
 
-def _make_fwd_kernel_pol(spec, coat_kinds):
+def _make_fwd_kernel_pol(spec, coat_kinds, pol_scalars=None,
+                         intensity=False):
     def kernel(*refs):
         params_ref, coeffs_ref, coat_ref = refs[0], refs[1], refs[2]
         in_refs = refs[3:11]
@@ -235,26 +298,38 @@ def _make_fwd_kernel_pol(spec, coat_kinds):
         getc = lambda s, ci: coeffs_ref[s, ci]
         getcoat = lambda s, ci: coat_ref[s, ci]
         ins = [r[:] for r in in_refs]
-        out = _chain_pol(spec, coat_kinds, getp, getc, getcoat, *ins)
+        if intensity:
+            out = _chain_pol_intensity(
+                spec, coat_kinds, pol_scalars, getp, getc, getcoat, *ins
+            )
+        else:
+            out = _chain_pol(spec, coat_kinds, getp, getc, getcoat, *ins)
         for ref, val in zip(out_refs, out):
             ref[:] = val
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "coat_kinds"))
-def _pallas_fwd_pol(params, coeffs, coat, ray_arrays, spec, coat_kinds):
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "coat_kinds", "pol_scalars", "intensity"),
+)
+def _pallas_fwd_pol(params, coeffs, coat, ray_arrays, spec, coat_kinds,
+                    pol_scalars=None, intensity=False):
     tile = _tile_rows(ray_arrays[0].shape[0], TILE_ROWS_POL_FWD)
     arrs, R = _pad_ray_arrays(ray_arrays, tile)
     rows = arrs[0].shape[0]
     grid = (rows // tile,)
     dtype = arrs[0].dtype
+    n_out = 8 if intensity else 26
 
     ray_spec = pl.BlockSpec(
         (tile, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
     )
-    out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(26)]
-    kernel = _make_fwd_kernel_pol(spec, coat_kinds)
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(n_out)
+    ]
+    kernel = _make_fwd_kernel_pol(spec, coat_kinds, pol_scalars, intensity)
     interpret = jax.default_backend() == "cpu"
     with mosaic_compile_ctx(interpret):
         outs = pl.pallas_call(
@@ -262,7 +337,7 @@ def _pallas_fwd_pol(params, coeffs, coat, ray_arrays, spec, coat_kinds):
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
             + [ray_spec] * len(arrs),
-            out_specs=[ray_spec] * 26,
+            out_specs=[ray_spec] * n_out,
             out_shape=out_shape,
             interpret=interpret,
         )(params, coeffs, coat, *arrs)
@@ -277,19 +352,21 @@ def _dp_rows_pol(spec):
     return max(8, -(-rows // 8) * 8)
 
 
-def _make_bwd_kernel_pol(spec, coat_kinds):
+def _make_bwd_kernel_pol(spec, coat_kinds, pol_scalars=None,
+                         intensity=False):
     S = len(spec[0])
     nc = spec[4]
     n_param = S * NUM_P
     n_coeff = S * nc
     rows_dp = _dp_rows_pol(spec)
+    n_cot = 8 if intensity else 26
 
     def kernel(*refs):
         params_ref, coeffs_ref, coat_ref = refs[0], refs[1], refs[2]
         in_refs = refs[3:11]
-        cot_refs = refs[11 : 11 + 26]
-        out_refs = refs[11 + 26 : 11 + 26 + 8]
-        dp_ref = refs[11 + 26 + 8]
+        cot_refs = refs[11 : 11 + n_cot]
+        out_refs = refs[11 + n_cot : 11 + n_cot + 8]
+        dp_ref = refs[11 + n_cot + 8]
 
         pvals = tuple(
             params_ref[s, c] for s in range(S) for c in range(NUM_P)
@@ -306,9 +383,12 @@ def _make_bwd_kernel_pol(spec, coat_kinds):
             getp = lambda s, col: pv[s * NUM_P + col]
             getc = lambda s, ci: cv[s * nc + ci]
             getcoat = lambda s, ci: cov[s * N_COAT + ci]
-            return _chain_pol(
-                spec, coat_kinds, getp, getc, getcoat,
-                x, y, z, L, M, N, i, opd,
+            chain = _chain_pol_intensity if intensity else _chain_pol
+            args = (spec, coat_kinds)
+            if intensity:
+                args = args + (pol_scalars,)
+            return chain(
+                *args, getp, getc, getcoat, x, y, z, L, M, N, i, opd,
             )
 
         _, vjp = jax.vjp(fwd_vals, pvals, cvals, covals, *ins)
@@ -341,9 +421,12 @@ def _make_bwd_kernel_pol(spec, coat_kinds):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "coat_kinds"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "coat_kinds", "pol_scalars", "intensity"),
+)
 def _pallas_bwd_pol(params, coeffs, coat, inputs, cotangents, spec,
-                    coat_kinds):
+                    coat_kinds, pol_scalars=None, intensity=False):
     S = len(spec[0])
     nc = spec[4]
     rows_dp = _dp_rows_pol(spec)
@@ -361,7 +444,7 @@ def _pallas_bwd_pol(params, coeffs, coat, inputs, cotangents, spec,
     )
     out_shape = [jax.ShapeDtypeStruct((rows, LANE), dtype) for _ in range(8)]
     out_shape.append(jax.ShapeDtypeStruct((rows_dp, LANE), dtype))
-    kernel = _make_bwd_kernel_pol(spec, coat_kinds)
+    kernel = _make_bwd_kernel_pol(spec, coat_kinds, pol_scalars, intensity)
     interpret = jax.default_backend() == "cpu"
     with mosaic_compile_ctx(interpret):
         outs = pl.pallas_call(
@@ -524,8 +607,80 @@ def trace_fast_pol(system, rays, wavelength, newton_iters: int = 10):
     return final, p
 
 
+def _pol_scalars_of(state):
+    """Static scalar tuple from a PolarizationState (None = unpolarized)."""
+    if state is None or not getattr(state, "is_polarized", False):
+        return None
+    return (float(state.Ex), float(state.Ey),
+            float(state.phase_x), float(state.phase_y))
+
+
+def trace_fast_pol_intensity(system, rays, wavelength, state=None,
+                             newton_iters: int = 10):
+    """Fused polarized trace with the exit intensity computed in-kernel.
+
+    Equivalent to ``trace_fast_pol`` followed by
+    ``polarization.polarized_intensity(p, state, rays.L, rays.M, rays.N,
+    rays.i)`` — the Optic-level polarized trace contract
+    (optic/optic.py _trace_jit; reference: polarized_rays.py:96-134) — but
+    the 18 polarization-matrix channels never leave VMEM: the kernel
+    returns the 8 ray arrays with ``i`` already polarized. jax.grad runs
+    the in-kernel-VJP backward kernel through the same fused chain.
+    """
+    from optiland_tpu.core.rays import RealRays
+
+    spec = _spec_of(system, newton_iters, poly=False)
+    coat_kinds = _coat_kinds(system)
+    pol_scalars = _pol_scalars_of(state)
+    params = build_param_table(system, wavelength)
+    coat = build_coat_table(system, wavelength)
+
+    dt = rays.x.dtype
+    if jax.default_backend() != "cpu" and dt == jnp.float64:
+        dt = jnp.float32
+    S = system.cfg.num_surfaces
+    coeffs = system.stack.coeffs.astype(dt)
+    if coeffs.shape[1] == 0:
+        coeffs = jnp.zeros((S, 1), dt)
+    params = params.astype(dt)
+    coat = coat.astype(dt)
+
+    @jax.custom_vjp
+    def _traced(params, coeffs, coat, *ray_in):
+        return _pallas_fwd_pol(
+            params, coeffs, coat, ray_in, spec=spec, coat_kinds=coat_kinds,
+            pol_scalars=pol_scalars, intensity=True,
+        )
+
+    def _fwd(params, coeffs, coat, *ray_in):
+        out = _traced(params, coeffs, coat, *ray_in)
+        return out, (params, coeffs, coat, ray_in)
+
+    def _bwd(res, g):
+        params, coeffs, coat, ray_in = res
+        ray_grads, dparams, dcoeffs, dcoat = _pallas_bwd_pol(
+            params, coeffs, coat, tuple(ray_in), tuple(g),
+            spec=spec, coat_kinds=coat_kinds,
+            pol_scalars=pol_scalars, intensity=True,
+        )
+        if dcoeffs.shape != coeffs.shape:
+            dcoeffs = jnp.zeros_like(coeffs).at[
+                :, : dcoeffs.shape[1]
+            ].set(dcoeffs)
+        return (dparams, dcoeffs, dcoat) + ray_grads
+
+    _traced.defvjp(_fwd, _bwd)
+
+    ray_in = (rays.x, rays.y, rays.z, rays.L, rays.M, rays.N, rays.i,
+              rays.opd)
+    ray_in = tuple(a.astype(dt) for a in ray_in)
+    x, y, z, L, M, N, i, opd = _traced(params, coeffs, coat, *ray_in)
+    return RealRays(x=x, y=y, z=z, L=L, M=M, N=N, i=i, w=rays.w, opd=opd)
+
+
 __all__ = [
     "trace_fast_pol",
+    "trace_fast_pol_intensity",
     "pallas_pol_supported",
     "build_coat_table",
 ]

@@ -228,6 +228,9 @@ def _nurbs_common(o):
     o.wavelengths.add(0.55, is_primary=True)
 
 
+@pytest.mark.slow  # forward compile of the 24-iter 2D Newton chain (~85 s
+# cold); default-tier NURBS coverage: test_nurbs_fitted_parity +
+# test_nurbs_control_point_gradient
 def test_nurbs_explicit_parity(goldens):
     """Fully-specified rational NURBS net traces identically to the
     reference (reference: nurbs/nurbs_geometry.py)."""

@@ -308,7 +308,7 @@ def test_optimizer_undo_restores_variables():
 def test_problem_info_tables():
     """Reporting tables (reference: problem.py:222-363)."""
     lens = _perturbed_cooke()
-    problem = _spot_problem(lens)
+    problem = _spot_problem(lens, max_fields=2)  # compile scales w/ operands
     problem.add_variable(lens, "radius", surface_number=1, min_val=10.0)
     merit_df, op_df, var_df = problem.info(show=False)
     assert len(op_df) == len(problem.operands)
