@@ -5,6 +5,7 @@ from optiland_tpu.analysis.energy_and_focus import (
     ThroughFocusSpotDiagram,
 )
 from optiland_tpu.analysis.fans_and_fields import (
+    BestFitRayFan,
     Distortion,
     FieldCurvature,
     GridDistortion,
@@ -33,6 +34,7 @@ from optiland_tpu.analysis.opd import OPD, OPDFan, ZernikeOPD
 from optiland_tpu.analysis.spot import SpotDiagram, SpotData, rms_spot_size
 
 __all__ = [
+    "BestFitRayFan",
     "Distortion",
     "EncircledEnergy",
     "FieldCurvature",

@@ -97,6 +97,65 @@ class RayFan(BaseAnalysis):
         return fig, axes
 
 
+class BestFitRayFan(RayFan):
+    """Ray fan referenced to the best-fit sphere center
+    (reference: analysis/ray_fan.py:247-320).
+
+    Instead of recentering each fan on the primary-wavelength chief-ray
+    intercept, the lateral (x, y) coordinates of the center of the
+    wavefront's best-fit sphere (computed at the primary wavelength over a
+    hexapolar pupil grid) become the origin. No chief-ray distortion
+    removal is applied, so the fans show all aberrations — including
+    distortion — relative to the point of optimal focus.
+    """
+
+    def __init__(self, optic, fields="all", wavelengths="all",
+                 num_points: int = 256, num_rays_for_fit: int = 15):
+        self.num_rays_for_fit = num_rays_for_fit
+        super().__init__(optic, fields, wavelengths, num_points)
+
+    def _generate_data(self):
+        from optiland_tpu.core.distributions import create_distribution
+        from optiland_tpu.wavefront import compute_wavefront_data
+
+        dist = create_distribution("hexapolar")
+        dist.generate_points(self.num_rays_for_fit)
+        Px2d = jnp.asarray(dist.x)
+        Py2d = jnp.asarray(dist.y)
+
+        data = {
+            "Px": np.linspace(-1, 1, self.num_points),
+            "Py": np.linspace(-1, 1, self.num_points),
+        }
+        wave_ref = self.optic.primary_wavelength
+        for field in self.fields:
+            Hx, Hy = field
+            fkey = f"{tuple(field)}"
+            wdata = compute_wavefront_data(
+                self.optic.system, Hx, Hy, wave_ref, Px2d, Py2d,
+                strategy="best_fit",
+            )
+            ref_x = float(wdata.center[0])
+            ref_y = float(wdata.center[1])
+            data[fkey] = {}
+            for wl in self.wavelengths:
+                rays_x = self.optic.trace(
+                    Hx=Hx, Hy=Hy, wavelength=wl,
+                    num_rays=self.num_points, distribution="line_x",
+                )
+                rays_y = self.optic.trace(
+                    Hx=Hx, Hy=Hy, wavelength=wl,
+                    num_rays=self.num_points, distribution="line_y",
+                )
+                data[fkey][f"{wl}"] = {
+                    "x": np.asarray(rays_x.x) - ref_x,
+                    "intensity_x": np.asarray(rays_x.i),
+                    "y": np.asarray(rays_y.y) - ref_y,
+                    "intensity_y": np.asarray(rays_y.i),
+                }
+        return data
+
+
 class Distortion(BaseAnalysis):
     """Distortion vs field (reference: analysis/distortion.py:24)."""
 

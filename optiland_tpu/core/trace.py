@@ -303,11 +303,19 @@ def trace(system: System, rays: RealRays, record: bool = True, key=None,
         final per-ray polarization matrices under "p".
     """
     stack, cfg = system.stack, system.cfg
+    mode = _engine_mode()
+    # Pallas fast path: only on TPU (the kernels use Mosaic/pltpu memory
+    # spaces and would fail to lower on GPU), only for f32 rays (the
+    # kernels compute in f32; dispatching f64 rays would silently change
+    # result precision under jax_enable_x64), and only when no engine is
+    # explicitly forced via OPTILAND_TPU_TRACE_ENGINE.
     if (
         not record
         and key is None
+        and mode == "auto"
         and isinstance(wavelength, (int, float, np.floating))
-        and jax.default_backend() != "cpu"
+        and jax.default_backend() == "tpu"
+        and rays.x.dtype == jnp.float32
     ):
         from optiland_tpu.ops import pallas_pol, pallas_trace
 
@@ -325,7 +333,6 @@ def trace(system: System, rays: RealRays, record: bool = True, key=None,
     # 24-surface .zmx compiles for >60 s); the scan body compiles once
     # per distinct geometry family. Auto-selected on every backend (the
     # Pallas kernel still owns the TPU hot path via trace_fast).
-    mode = _engine_mode()
     if mode == "scan":
         if not scan_supported(cfg):
             raise ValueError(

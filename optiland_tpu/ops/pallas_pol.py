@@ -525,10 +525,11 @@ def build_coat_table(system, wavelength):
     cfg = system.cfg
     S = cfg.num_surfaces
     dt = system.stack.radius.dtype
+    kinds = _coat_kinds(system)
     rows = []
     for s in range(S):
         c = (cfg.coatings or (None,) * S)[s]
-        kind = _coat_kinds(system)[s]
+        kind = kinds[s]
         if kind == "fresnel":
             rows.append(jnp.stack([
                 jnp.ravel(jnp.asarray(c.material_pre.n(wavelength), dt))[0],

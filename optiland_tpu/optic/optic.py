@@ -543,6 +543,49 @@ def _trace_jit():
 
 
 @functools.lru_cache(maxsize=32)
+def _trace_jit_dyn():
+    """Traced-wavelength variant: wavelength is a dynamic jit argument, so a
+    JAX array (e.g. from an outer grad/vmap over wavelength) traces without
+    recompiling per value. Skips the Pallas dispatch (which needs a concrete
+    wavelength) and uses the XLA path."""
+
+    def run(system, Hx, Hy, Px, Py, wavelength, record, apodization=None,
+            pol_state=None, key=None):
+        rays = raygen.generate_rays(
+            system, Hx, Hy, Px, Py, wavelength, apodization=apodization
+        )
+        final, history = trace_core.trace(
+            system, rays, record=record, key=key
+        )
+        if system.cfg.polarized:
+            from optiland_tpu.polarization import polarized_intensity
+
+            p = history["p"]
+            i_pol = polarized_intensity(
+                p, pol_state, rays.L, rays.M, rays.N, rays.i
+            )
+            final = final.replace(i=i_pol)
+            history["i0"] = rays.i
+        return final, history
+
+    return jax.jit(
+        run, static_argnames=("record", "apodization", "pol_state")
+    )
+
+
+def _concrete_wavelength(wavelength):
+    """float(wavelength) when concrete (Python/NumPy scalar, or a concrete
+    JAX array); the value unchanged when traced (inside jit/grad/vmap)."""
+    if isinstance(wavelength, jax.core.Tracer):
+        return wavelength
+    try:
+        return float(wavelength)
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return wavelength
+
+
+@functools.lru_cache(maxsize=32)
 def _trace_rays_jit():
     """Trace a pre-aimed launch bundle (used by the real ray-aiming modes)."""
 
@@ -1095,7 +1138,7 @@ class Optic:
         (reference: raytrace/real_ray_tracer.py:58-118)."""
         if wavelength is None:
             wavelength = self.primary_wavelength
-        wavelength = float(wavelength)  # static under jit (hashable)
+        wavelength = _concrete_wavelength(wavelength)
         if isinstance(distribution, str):
             distribution = create_distribution(distribution)
             distribution.generate_points(num_rays)
@@ -1115,7 +1158,8 @@ class Optic:
             return self._aimed_trace(
                 Hx_full, Hy_full, Px_full, Py_full, wavelength, record
             )
-        final, history = _trace_jit()(
+        fn = _trace_jit() if isinstance(wavelength, float) else _trace_jit_dyn()
+        final, history = fn(
             self.system, Hx_full, Hy_full, Px_full, Py_full, wavelength, record,
             self.apodization, self._pol_state(), self._next_key(),
         )
@@ -1130,10 +1174,11 @@ class Optic:
             np.atleast_1d(np.asarray(Px, float)),
             np.atleast_1d(np.asarray(Py, float)),
         )
-        wavelength = float(wavelength)
+        wavelength = _concrete_wavelength(wavelength)
         if self._aimer is not None and self._aimer.name != "paraxial":
             return self._aimed_trace(Hx, Hy, Px, Py, wavelength, record)
-        final, history = _trace_jit()(
+        fn = _trace_jit() if isinstance(wavelength, float) else _trace_jit_dyn()
+        final, history = fn(
             self.system, Hx, Hy, Px, Py, wavelength, record, self.apodization,
             self._pol_state(), self._next_key(),
         )

@@ -110,3 +110,23 @@ def test_quick_focus_solve_parity(goldens):
     m.add("quick_focus")
     got = float(lens.surfaces.surfaces[6].thickness)
     assert_allclose(got, float(g["qf_thickness"]), rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("fi", range(3))
+def test_bestfit_rayfan_parity(goldens, cooke, fi):
+    """BestFitRayFan fans match the reference referenced to the best-fit
+    sphere center (reference: analysis/ray_fan.py:247-320)."""
+    from optiland_tpu.analysis import BestFitRayFan
+
+    g = goldens("bestfit_rayfan")
+    fan = BestFitRayFan(cooke, num_points=9, num_rays_for_fit=6)
+    assert_allclose(fan.data["Px"], g["Px"], rtol=1e-12, atol=1e-14)
+    coord = tuple(float(v) for v in g[f"f{fi}_coord"])
+    fkey = f"{coord}"
+    for wi in range(int(g["num_wl"])):
+        wl = float(g[f"f{fi}_w{wi}_wl"])
+        rec = fan.data[fkey][f"{wl}"]
+        # atol 5e-7 mm: the algebraic best-fit sphere solve differs from
+        # the reference's formulation at the sub-nanometre level.
+        assert_allclose(rec["x"], g[f"f{fi}_w{wi}_x"], rtol=1e-6, atol=5e-7)
+        assert_allclose(rec["y"], g[f"f{fi}_w{wi}_y"], rtol=1e-6, atol=5e-7)

@@ -444,3 +444,35 @@ def test_add_surface_rejects_unknown_kwargs():
     optic.add_surface(index=0, thickness=np.inf)
     with pytest.raises(TypeError, match="Unknown surface argument"):
         optic.add_surface(index=1, radius=50.0, radiuss=3.0)
+
+
+def test_trace_accepts_traced_wavelength():
+    """A JAX-array wavelength (e.g. under grad/vmap over wavelength) must
+    trace without raising TracerError and without per-value recompiles
+    (ADVICE r3: unconditional float(wavelength) broke this)."""
+    import jax
+    import jax.numpy as jnp
+
+    optic = CookeTriplet()
+
+    def rms_at(wl):
+        res = optic.trace_generic(0.0, 0.0, 0.3, 0.4, wl, record=False)
+        return jnp.hypot(res.x[0], res.y[0])
+
+    # Concrete array input works
+    v1 = rms_at(jnp.asarray(0.55))
+    v2 = optic.trace_generic(0.0, 0.0, 0.3, 0.4, 0.55, record=False)
+    assert float(v1) == pytest.approx(
+        float(jnp.hypot(v2.x[0], v2.y[0])), rel=1e-12
+    )
+    # Differentiating through wavelength works (chromatic sensitivity)
+    g = jax.grad(rms_at)(jnp.asarray(0.55))
+    assert np.isfinite(float(g))
+
+
+def test_trace_concrete_wavelength_unchanged():
+    """Python-float wavelengths keep the static (Pallas-dispatchable) path."""
+    from optiland_tpu.optic.optic import _concrete_wavelength
+
+    assert isinstance(_concrete_wavelength(0.55), float)
+    assert isinstance(_concrete_wavelength(np.float64(0.55)), float)

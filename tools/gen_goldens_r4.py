@@ -153,10 +153,39 @@ def polarization_mirror():
     print(f"pol_mirror.npz: {len(out)} arrays")
 
 
+def bestfit_rayfan():
+    """BestFitRayFan golden on the Cooke triplet
+    (reference: analysis/ray_fan.py:247-320)."""
+    from optiland.analysis.ray_fan import BestFitRayFan
+    from optiland.samples.objectives import CookeTriplet
+
+    lens = CookeTriplet()
+    fan = BestFitRayFan(lens, fields="all", wavelengths="all",
+                        num_points=9, num_rays_for_fit=6)
+    d = fan.data if hasattr(fan, "data") else fan._generate_data()
+    save = {"Px": np.asarray(d["Px"]), "Py": np.asarray(d["Py"])}
+    fi = 0
+    for k in d:
+        if k in ("Px", "Py"):
+            continue
+        wi = 0
+        for wl, rec in d[k].items():
+            save[f"f{fi}_w{wi}_x"] = np.asarray(rec["x"])
+            save[f"f{fi}_w{wi}_y"] = np.asarray(rec["y"])
+            save[f"f{fi}_w{wi}_wl"] = float(wl)
+            wi += 1
+        save[f"f{fi}_coord"] = np.asarray(eval(k))
+        fi += 1
+    save["num_fields"] = fi
+    save["num_wl"] = wi
+    np.savez(os.path.join(OUT, "bestfit_rayfan.npz"), **save)
+    print(f"bestfit_rayfan.npz: {len(save)} arrays")
+
+
 if __name__ == "__main__":
     import sys as _sys
 
-    sections = _sys.argv[1:] or ["analysis", "wavefront", "polmirror", "vhuygens"]
+    sections = _sys.argv[1:] or ["analysis", "wavefront", "polmirror", "vhuygens", "bestfitfan"]
     if "analysis" in sections:
         analysis_multi()
     if "wavefront" in sections:
@@ -165,3 +194,5 @@ if __name__ == "__main__":
         polarization_mirror()
     if "vhuygens" in sections:
         vectorial_huygens()
+    if "bestfitfan" in sections:
+        bestfit_rayfan()
