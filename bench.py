@@ -153,14 +153,14 @@ def main():
 
     def final_xy(sys_, rays_):
         if use_pol:
-            from optiland_tpu.ops.pallas_pol import trace_fast_pol
-            from optiland_tpu.polarization import polarized_intensity
+            # In-kernel exit intensity: the 18 polarization-matrix channels
+            # never leave VMEM (trace_fast_pol_intensity docstring).
+            from optiland_tpu.ops.pallas_pol import trace_fast_pol_intensity
 
-            out, p = trace_fast_pol(sys_, rays_, WAVELENGTH)
-            i_pol = polarized_intensity(
-                p, pol_state, rays_.L, rays_.M, rays_.N, out.i
+            out = trace_fast_pol_intensity(
+                sys_, rays_, WAVELENGTH, state=pol_state
             )
-            return out.x * i_pol, out.y * i_pol
+            return out.x * out.i, out.y * out.i
         if use_pallas and mesh is not None:
             from optiland_tpu.parallel.sharded_trace import trace_fast_sharded
 
@@ -186,13 +186,35 @@ def main():
         x, y = step_xy(key, sys_)
         return jnp.mean((x - jnp.mean(x)) ** 2 + (y - jnp.mean(y)) ** 2)
 
+    # Fused merit path (cooke headline): pupil PRNG, trace, and the
+    # RMS-spot reduction all run inside the Pallas kernels with zero
+    # per-ray HBM traffic; the backward builds cotangents in-kernel from
+    # the centroid scalars (ops/pallas_trace.spot_rms_fast_field).
+    use_merit = (
+        use_field and os.environ.get("BENCH_FUSED", "1") == "1"
+    )
+
+    def merit_fused(seed, stack):
+        from optiland_tpu.ops.pallas_trace import spot_rms_fast_field
+
+        sys_ = system.replace(stack=stack)
+        return spot_rms_fast_field(
+            sys_, 0.0, 0.7, WAVELENGTH, num_rays=NUM_RAYS, seed=seed
+        )
+
     @jax.jit
     def fwdbwd_loop(key, stack):
         def body(i, carry):
             v_acc, g_acc = carry
-            v, g = jax.value_and_grad(merit, argnums=1)(
-                jax.random.fold_in(key, i), stack
-            )
+            if use_merit:
+                seed = key[1].astype(jnp.int32) * INNER + i
+                v, g = jax.value_and_grad(merit_fused, argnums=1)(
+                    seed, stack
+                )
+            else:
+                v, g = jax.value_and_grad(merit, argnums=1)(
+                    jax.random.fold_in(key, i), stack
+                )
             return v_acc + v, jax.tree.map(jnp.add, g_acc, g)
 
         g0 = jax.tree.map(jnp.zeros_like, stack)
@@ -201,6 +223,9 @@ def main():
     @jax.jit
     def fwd_loop(key, stack):
         def body(i, acc):
+            if use_merit:
+                seed = key[1].astype(jnp.int32) * INNER + i
+                return acc + merit_fused(seed, stack)
             sys_ = system.replace(stack=stack)
             x, y = step_xy(jax.random.fold_in(key, i), sys_)
             return acc + jnp.mean(x) + jnp.mean(y)
@@ -248,6 +273,7 @@ def main():
                     "t_fwd_s": t_fwd,
                     "kernel": (
                         "pallas-pol" if use_pol
+                        else "pallas-merit" if use_merit
                         else "pallas-field" if use_field
                         else "pallas" if use_pallas else "xla"
                     ),

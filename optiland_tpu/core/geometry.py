@@ -283,27 +283,43 @@ def _sag_forbes_q2d(radius, conic, coeffs, p1, p2, x, y, aux=None):
     return z_base + jnp.where(usq > 1, 0.0, departure)
 
 
+def _hat_weights(g, q):
+    """P1 (piecewise-linear FEM hat) basis weights of query points ``q``
+    on the monotone node vector ``g``: (R, n) with exactly the two cell
+    nodes nonzero. Equivalent to bilinear interpolation weights on any
+    monotone grid, but expressed WITHOUT gathers — the downstream
+    contraction is a matmul, which maps to the TPU MXU (per-ray
+    searchsorted+gather lowers to serialized dynamic-gathers, and its
+    transpose to scatter-adds, both slow on TPU)."""
+    dl = jnp.diff(g)  # (n-1,) left-cell widths of nodes 1..n-1
+    dxl = jnp.concatenate([dl[:1], dl])  # width of the cell left of node k
+    dxr = jnp.concatenate([dl, dl[-1:]])  # width of the cell right of node k
+    d = q[:, None] - g[None, :]
+    w = jnp.minimum(1.0 + d / dxl[None, :], 1.0 - d / dxr[None, :])
+    return jnp.maximum(w, 0.0)
+
+
 def _sag_grid(radius, conic, coeffs, p1, p2, x, y, aux=None):
     """Bilinear grid sag (reference: grid_sag.py:33-104). aux = ("grid",
     x_grid, y_grid) as static tuples; the sag VALUES live in the coeff
     vector (row-major, shape (ny, nx)) so they stay differentiable and can
-    be grid_sag optimization variables. Out-of-grid points are NaN."""
+    be grid_sag optimization variables. Out-of-grid points are NaN.
+
+    Evaluated as a hat-basis contraction z = Wy·SG·Wx per ray (exactly
+    bilinear on the cell, since only the two spanning hats are nonzero):
+    the (R, n)x(n, n) products run on the MXU and the VJP w.r.t. the grid
+    values is a matmul instead of a scatter-add."""
     xg = jnp.asarray(np.asarray(aux[1]))
     yg = jnp.asarray(np.asarray(aux[2]))
     ny, nx_ = yg.shape[0], xg.shape[0]
     sg = coeffs[: ny * nx_].reshape(ny, nx_)
-    i = jnp.clip(jnp.searchsorted(xg, x, side="right") - 1, 0, xg.shape[0] - 2)
-    j = jnp.clip(jnp.searchsorted(yg, y, side="right") - 1, 0, yg.shape[0] - 2)
+    shp = x.shape
+    xq = x.reshape(-1)
+    yq = y.reshape(-1)
+    wx = _hat_weights(xg, xq).astype(sg.dtype)  # (R, nx)
+    wy = _hat_weights(yg, yq).astype(sg.dtype)  # (R, ny)
+    sag = jnp.sum((wy @ sg) * wx, axis=-1).reshape(shp)
     oob = (x < xg[0]) | (x > xg[-1]) | (y < yg[0]) | (y > yg[-1])
-    x1, x2 = xg[i], xg[i + 1]
-    y1, y2 = yg[j], yg[j + 1]
-    z11, z12 = sg[j, i], sg[j, i + 1]
-    z21, z22 = sg[j + 1, i], sg[j + 1, i + 1]
-    tx = (x - x1) / (x2 - x1)
-    ty = (y - y1) / (y2 - y1)
-    z_y1 = z11 * (1 - tx) + z12 * tx
-    z_y2 = z21 * (1 - tx) + z22 * tx
-    sag = z_y1 * (1 - ty) + z_y2 * ty
     return jnp.where(oob, jnp.nan, sag)
 
 

@@ -54,7 +54,10 @@ from optiland_tpu.ops.pallas_trace import (
     mosaic_compile_ctx,
 )
 
-TILE_ROWS_POL_FWD = 256  # 26 output channels: smaller tile than plain trace
+# 26 output channels: smaller tile than the plain trace kernel. 256 rows
+# exceeded the 16 MB scoped-VMEM budget by ~0.8 MB on a real v5e (measured
+# r4: "Scoped allocation with size 16.75M and limit 16.00M"); 128 fits.
+TILE_ROWS_POL_FWD = 128
 TILE_ROWS_POL_BWD = 16
 
 N_COAT = 2  # per-surface coating scalars (n1, n2) or (T, R)

@@ -80,7 +80,7 @@ def _tile_rows(num_rays: int, cap: int) -> int:
     return min(cap, max(8, need))
 # (large tiles amortize per-step DMA setup: 64->512 rows cut the measured
 # HBM-bound forward wall-clock ~18% on v5e; >=1024 can fail VMEM limits)
-TILE_ROWS_BWD = 32  # smaller tile for the adjoint (more live values)
+TILE_ROWS_BWD = 64  # adjoint tile: 128 rows OOMs scoped VMEM (31.57M > 16M, r4 sweep)
 LANE = 128
 
 # param table columns
@@ -797,6 +797,353 @@ def trace_fast_field(system, Hx, Hy, Px, Py, wavelength,
     x, y, z, L, M, N, i, opd = _traced(params, coeffs, aim, Px, Py)
     w = jnp.full_like(x, wavelength)
     return RealRays(x=x, y=y, z=z, L=L, M=M, N=N, i=i, w=w, opd=opd)
+
+
+# ---------------------------------------------------------------------------
+# Fused merit kernels: RMS-spot value-and-grad entirely in VMEM
+#
+# The optimizer hot loop evaluates scalar merits, not ray dumps. For the
+# RMS spot size of one field these kernels close the last HBM round-trips
+# the "field" variant still pays:
+#   * forward: pupil samples are drawn IN-KERNEL (pltpu PRNG -> uniform
+#     disk), the tile is traced, and only 4 running sums
+#     (Sx, Sy, Sx^2, Sy^2) leave the kernel — zero per-ray HBM traffic.
+#     (The XLA threefry pupil generation alone measured 2.3 ms/step at
+#     2^24 rays — 6% of the whole step; PROFILE.md device-op table.)
+#   * backward: the cotangent dL/dx_r = 2(x_r - mean)/N is built in-kernel
+#     from the two mean scalars, so no cotangent arrays are read either;
+#     the VJP is taken of a tile-local SCALAR, which also dead-code
+#     eliminates the opd/intensity adjoint chains the merit never uses.
+# Gradient exactness: with L = mean((x - x̄)² + (y - ȳ)²), treating x̄, ȳ
+# as constants gives the exact gradient because Σ(x - x̄) = 0.
+# ---------------------------------------------------------------------------
+
+TILE_ROWS_MERIT_BWD = 64
+
+
+def _prng_disk(seed0, g, shape, dtype):
+    """Uniform unit-disk samples generated in-kernel (one stream per grid
+    step): r = sqrt(u1), th = 2*pi*u2."""
+    pltpu.prng_seed(seed0, g)
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    scale = jnp.asarray(2.0 ** -24, dtype)
+    # Mosaic has no uint32->f32 cast; shift as uint32 (top 24 bits, so the
+    # int32 reinterpretation is non-negative) and cast from int32.
+    u1 = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(b1, jnp.uint32) >> 8, jnp.int32
+    ).astype(dtype) * scale
+    u2 = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(b2, jnp.uint32) >> 8, jnp.int32
+    ).astype(dtype) * scale
+    r = jnp.sqrt(u1)
+    th = u2 * jnp.asarray(2.0 * np.pi, dtype)
+    return r * jnp.cos(th), r * jnp.sin(th)
+
+
+def _valid_mask(g, tile, R):
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (tile, LANE), 0)
+    lanei = jax.lax.broadcasted_iota(jnp.int32, (tile, LANE), 1)
+    return (g * tile * LANE + rowi * LANE + lanei) < R
+
+
+def _make_merit_fwd_kernel(spec, tile, R, prng):
+    """Per-tile spot statistics with LOCAL centering (Chan's parallel
+    variance): raw ``sum(x**2) - sum(x)**2/N`` cancels catastrophically in
+    f32 for off-axis fields (mean^2 ~ 1e6 x variance), so each tile emits
+    (mean_x, mean_y, M2x, M2y, n_valid) about its own centroid and the
+    host combines the per-tile rows in f64."""
+
+    def kernel(*refs):
+        params_ref, coeffs_ref, mats_ref, aim_ref = refs[:4]
+        if prng:
+            seed_ref = refs[4]
+            acc_ref = refs[5]
+        else:
+            px_ref, py_ref = refs[4], refs[5]
+            acc_ref = refs[6]
+        g = pl.program_id(0)
+        getp = lambda s, col: params_ref[s, col]
+        getc = lambda s, ci: coeffs_ref[s, ci]
+        getm = lambda s, mi: mats_ref[s, mi]
+        geta = lambda j: aim_ref[j]
+        dt = acc_ref.dtype
+        if prng:
+            Px, Py = _prng_disk(seed_ref[0], g, (tile, LANE), dt)
+        else:
+            Px, Py = px_ref[:], py_ref[:]
+        launch = _launch_from_pupil(geta, Px, Py)
+        x, y = _chain(spec, getp, getc, getm, *launch)[:2]
+        valid = _valid_mask(g, tile, R)
+        nt = jnp.sum(valid.astype(dt))
+        ntc = jnp.maximum(nt, 1.0)
+        xv = jnp.where(valid, x, 0.0)
+        yv = jnp.where(valid, y, 0.0)
+        mx = jnp.sum(xv) / ntc
+        my = jnp.sum(yv) / ntc
+        m2x = jnp.sum(jnp.where(valid, (x - mx) ** 2, 0.0))
+        m2y = jnp.sum(jnp.where(valid, (y - my) ** 2, 0.0))
+        stats = (mx, my, m2x, m2y, nt)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+        lin = rows * LANE + cols
+        acc = jnp.zeros((8, LANE), dt)
+        for k, v in enumerate(stats):
+            acc = jnp.where(lin == k, v, acc)
+        acc_ref[:] = acc
+
+    return kernel
+
+
+def _make_merit_bwd_kernel(spec, tile, R, prng, rows_dp):
+    S = len(spec[0])
+    nc = spec[4]
+    n_param = S * NUM_P
+    n_coeff = S * nc
+
+    def kernel(*refs):
+        params_ref, coeffs_ref, mats_ref, aim_ref, stats_ref = refs[:5]
+        if prng:
+            seed_ref = refs[5]
+            dp_ref = refs[6]
+        else:
+            px_ref, py_ref = refs[5], refs[6]
+            dp_ref = refs[7]
+        g = pl.program_id(0)
+        dt = dp_ref.dtype
+        if prng:
+            Px, Py = _prng_disk(seed_ref[0], g, (tile, LANE), dt)
+        else:
+            Px, Py = px_ref[:], py_ref[:]
+        xbar = stats_ref[0]
+        ybar = stats_ref[1]
+        scale = stats_ref[2]
+        valid = _valid_mask(g, tile, R)
+
+        pvals = tuple(
+            params_ref[s, c] for s in range(S) for c in range(NUM_P)
+        )
+        cvals = tuple(
+            coeffs_ref[s, ci] for s in range(S) for ci in range(nc)
+        )
+        avals = tuple(aim_ref[j] for j in range(N_AIM))
+
+        def f_scalar(pv, cv, av):
+            getp = lambda s, col: pv[s * NUM_P + col]
+            getc = lambda s, ci: cv[s * nc + ci]
+            geta = lambda j: av[j]
+            launch = _launch_from_pupil(geta, Px, Py)
+            x, y = _chain(
+                spec, getp, getc, lambda s, mi: 0.0, *launch
+            )[:2]
+            contrib = (x - xbar) ** 2 + (y - ybar) ** 2
+            return jnp.sum(jnp.where(valid, contrib, 0.0)) * scale
+
+        _, vjp = jax.vjp(f_scalar, pvals, cvals, avals)
+        dpv, dcv, dav = vjp(jnp.asarray(1.0, dt))
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_dp, LANE), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows_dp, LANE), 1)
+        lin = rows * LANE + cols
+        acc = jnp.zeros((rows_dp, LANE), dt)
+        for idx, v in enumerate(dpv):
+            acc = jnp.where(lin == idx, v, acc)
+        for jdx, v in enumerate(dcv):
+            acc = jnp.where(lin == n_param + jdx, v, acc)
+        for kdx, v in enumerate(dav):
+            acc = jnp.where(lin == n_param + n_coeff + kdx, v, acc)
+
+        @pl.when(g == 0)
+        def _():
+            dp_ref[:] = acc
+
+        @pl.when(g > 0)
+        def _():
+            dp_ref[:] = dp_ref[:] + acc
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "R", "prng", "tile")
+)
+def _pallas_merit_fwd(params, coeffs, mats, aim, seed, Px, Py, spec, R,
+                      prng, tile):
+    rows = -(-R // (tile * LANE)) * tile
+    grid = (rows // tile,)
+    dtype = params.dtype
+    ray_in = []
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+    if prng:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        ray_in.append(seed)
+    else:
+        arrs, _ = _pad_ray_arrays([Px, Py], tile, ones_idx=())
+        ray_spec = pl.BlockSpec(
+            (tile, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [ray_spec, ray_spec]
+        ray_in += arrs
+    acc_spec = pl.BlockSpec(
+        (8, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    kernel = _make_merit_fwd_kernel(spec, tile, R, prng)
+    interpret = jax.default_backend() == "cpu"
+    with mosaic_compile_ctx(interpret):
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=acc_spec,
+            out_shape=jax.ShapeDtypeStruct((grid[0] * 8, LANE), dtype),
+            interpret=interpret,
+        )(params, coeffs, mats, aim, *ray_in)
+    # (grid, 5) per-tile rows: mean_x, mean_y, M2x, M2y, n
+    return out.reshape(grid[0], 8, LANE)[:, 0, :5]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "R", "prng", "tile")
+)
+def _pallas_merit_bwd(params, coeffs, mats, aim, stats, seed, Px, Py,
+                      spec, R, prng, tile):
+    S = len(spec[0])
+    nc = spec[4]
+    total = S * (NUM_P + nc) + N_AIM
+    rows_dp = max(8, -(-(-(-total // LANE)) // 8) * 8)
+    rows = -(-R // (tile * LANE)) * tile
+    grid = (rows // tile,)
+    dtype = params.dtype
+    ray_in = []
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+    if prng:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        ray_in.append(seed)
+    else:
+        arrs, _ = _pad_ray_arrays([Px, Py], tile, ones_idx=())
+        ray_spec = pl.BlockSpec(
+            (tile, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [ray_spec, ray_spec]
+        ray_in += arrs
+    dp_spec = pl.BlockSpec(
+        (rows_dp, LANE), lambda g: (0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = _make_merit_bwd_kernel(spec, tile, R, prng, rows_dp)
+    interpret = jax.default_backend() == "cpu"
+    with mosaic_compile_ctx(interpret):
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=dp_spec,
+            out_shape=jax.ShapeDtypeStruct((rows_dp, LANE), dtype),
+            interpret=interpret,
+        )(params, coeffs, mats, aim, stats, *ray_in)
+    flat = out.reshape(-1)
+    dparams = flat[: S * NUM_P].reshape(S, NUM_P)
+    dcoeffs = flat[S * NUM_P : S * (NUM_P + nc)].reshape(S, nc)
+    daim = flat[S * (NUM_P + nc) : S * (NUM_P + nc) + N_AIM]
+    return dparams, dcoeffs, daim
+
+
+def spot_rms_fast_field(system, Hx, Hy, wavelength, num_rays=None,
+                        seed=0, Px=None, Py=None, newton_iters: int = 10,
+                        bwd_tile: int | None = None):
+    """Fused RMS-spot merit (mean squared distance to the centroid) for one
+    infinite-conjugate angle field — the optimizer-step hot op.
+
+    Equivalent to tracing ``num_rays`` uniform-disk pupil samples with
+    ``trace_fast_field`` and computing
+    ``mean((x - mean(x))**2 + (y - mean(y))**2)``, but the whole
+    value-and-grad pipeline runs inside two Pallas kernels with zero
+    per-ray HBM traffic (see section comment). With explicit ``Px/Py`` the
+    samples are taken from HBM instead of the in-kernel PRNG (used by the
+    CPU-interpret parity tests). jax.grad flows to every stack leaf via
+    the in-kernel scalar VJP.
+
+    (reference analog: the merit evaluations of
+    optimization/batched_evaluator.py:277+ driving
+    raytrace/real_ray_tracer.py:58-118)
+    """
+    spec = _spec_of(system, newton_iters, poly=False)
+    params = build_param_table(system, wavelength)
+    aim = aim_vector(system, Hx, Hy)
+
+    prng = Px is None
+    dt = jnp.float32 if jax.default_backend() != "cpu" else (
+        jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    )
+    if prng:
+        if num_rays is None:
+            raise ValueError("num_rays is required in PRNG mode")
+        if jax.default_backend() == "cpu":
+            raise NotImplementedError(
+                "in-kernel pupil PRNG (pltpu.prng_*) has no interpret-mode "
+                "lowering; pass explicit Px/Py on CPU"
+            )
+        R = int(num_rays)
+        seed_arr = jnp.asarray([seed], jnp.int32)
+        Px_in = Py_in = jnp.zeros((0,), dt)
+    else:
+        Px_in = jnp.asarray(Px, dt)
+        Py_in = jnp.asarray(Py, dt)
+        R = int(Px_in.shape[0])
+        seed_arr = jnp.zeros((1,), jnp.int32)
+    S = system.cfg.num_surfaces
+    coeffs = system.stack.coeffs.astype(dt)
+    if coeffs.shape[1] == 0:
+        coeffs = jnp.zeros((S, 1), dt)
+    mats = jnp.zeros((S, 1), dt)
+    params = params.astype(dt)
+    aim = aim.astype(dt)
+    fwd_tile = _tile_rows(R, TILE_ROWS_FWD)
+    bwd_tile = bwd_tile or _tile_rows(R, TILE_ROWS_MERIT_BWD)
+
+    def _combine(s):
+        """Chan merge of per-tile (mx, my, M2x, M2y, n) rows (f32-safe:
+        every term is centered, no mean^2-vs-variance cancellation)."""
+        mx, my, m2x, m2y, n = (s[:, k] for k in range(5))
+        xbar = jnp.sum(n * mx) / R
+        ybar = jnp.sum(n * my) / R
+        m2 = (
+            jnp.sum(m2x) + jnp.sum(n * (mx - xbar) ** 2)
+            + jnp.sum(m2y) + jnp.sum(n * (my - ybar) ** 2)
+        )
+        return m2 / R, xbar, ybar
+
+    @jax.custom_vjp
+    def _loss(params, coeffs, aim):
+        s = _pallas_merit_fwd(
+            params, coeffs, mats, aim, seed_arr, Px_in, Py_in,
+            spec=spec, R=R, prng=prng, tile=fwd_tile,
+        )
+        return _combine(s)[0]
+
+    def _fwd(params, coeffs, aim):
+        s = _pallas_merit_fwd(
+            params, coeffs, mats, aim, seed_arr, Px_in, Py_in,
+            spec=spec, R=R, prng=prng, tile=fwd_tile,
+        )
+        loss, xbar, ybar = _combine(s)
+        return loss, (params, coeffs, aim, xbar, ybar)
+
+    def _bwd(res, gl):
+        params, coeffs, aim, xbar, ybar = res
+        stats = jnp.stack(
+            [xbar, ybar, jnp.asarray(gl, params.dtype) / R, 0.0 * xbar]
+        ).astype(params.dtype)
+        dparams, dcoeffs, daim = _pallas_merit_bwd(
+            params, coeffs, mats, aim, stats, seed_arr, Px_in, Py_in,
+            spec=spec, R=R, prng=prng, tile=bwd_tile,
+        )
+        # dcoeffs matches the (possibly width-padded) coeffs argument; when
+        # the system has no geometry coeffs the padded column is a local
+        # constant and its cotangent is discarded by construction.
+        return dparams, dcoeffs, daim
+
+    _loss.defvjp(_fwd, _bwd)
+    return _loss(params, coeffs, aim)
 
 
 # ---------------------------------------------------------------------------

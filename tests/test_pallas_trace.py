@@ -328,3 +328,108 @@ def test_pallas_gradients_match_xla_singlet():
     assert_allclose(gp.radius, gx.radius, rtol=1e-6, atol=1e-12)
     assert_allclose(gp.thickness, gx.thickness, rtol=1e-6, atol=1e-12)
     assert_allclose(gp.coeffs, gx.coeffs, rtol=1e-6, atol=1e-12)
+
+
+class TestSpotRmsFastField:
+    """Fused RMS-spot merit kernels (explicit-pupil mode on CPU interpret;
+    the in-kernel-PRNG mode is TPU-only and exercised by bench.py)."""
+
+    def _pupils(self, n=1000):
+        rng = np.random.default_rng(3)
+        r = np.sqrt(rng.uniform(size=n))
+        th = rng.uniform(0, 2 * np.pi, size=n)
+        return (jnp.asarray(r * np.cos(th), jnp.float64),
+                jnp.asarray(r * np.sin(th), jnp.float64))
+
+    def test_loss_matches_field_trace(self):
+        from optiland_tpu.ops.pallas_trace import (
+            spot_rms_fast_field, trace_fast_field,
+        )
+
+        sys_ = CookeTriplet().system
+        Px, Py = self._pupils()
+        loss = spot_rms_fast_field(sys_, 0.0, 0.7, 0.55, Px=Px, Py=Py)
+        out = trace_fast_field(sys_, 0.0, 0.7, Px, Py, 0.55)
+        x = np.asarray(out.x, np.float64)
+        y = np.asarray(out.y, np.float64)
+        ref = np.mean((x - x.mean()) ** 2 + (y - y.mean()) ** 2)
+        assert abs(float(loss) - ref) < 1e-6 * ref
+
+    def test_no_mean_variance_cancellation(self):
+        """Off-axis field: mean^2 ~ 1.5e6 x variance — the per-tile Chan
+        centering must keep the loss accurate (the raw-moment formula was
+        ~26% wrong in f32)."""
+        from optiland_tpu.ops.pallas_trace import (
+            spot_rms_fast_field, trace_fast_field,
+        )
+
+        sys_ = CookeTriplet().system
+        Px, Py = self._pupils(4096)
+        loss = spot_rms_fast_field(sys_, 0.0, 1.0, 0.55, Px=Px, Py=Py)
+        out = trace_fast_field(sys_, 0.0, 1.0, Px, Py, 0.55)
+        x = np.asarray(out.x, np.float64)
+        y = np.asarray(out.y, np.float64)
+        ref = np.mean((x - x.mean()) ** 2 + (y - y.mean()) ** 2)
+        assert abs(float(loss) - ref) < 1e-5 * ref
+        assert np.mean(y) ** 2 > 1e4 * ref  # the test is actually hard
+
+    def test_gradient_matches_finite_difference(self):
+        from optiland_tpu.ops.pallas_trace import spot_rms_fast_field
+
+        sys_ = CookeTriplet().system
+        Px, Py = self._pupils(512)
+
+        def f(stack):
+            return spot_rms_fast_field(
+                sys_.replace(stack=stack), 0.0, 0.7, 0.55, Px=Px, Py=Py
+            )
+
+        g = jax.grad(f)(sys_.stack)
+        gr = np.asarray(g.radius)
+        st = sys_.stack
+        eps = 1e-4
+        for si in (1, 3, 5):
+            r0 = float(st.radius[si])
+            fp = float(f(st.replace(radius=st.radius.at[si].set(r0 + eps))))
+            fm = float(f(st.replace(radius=st.radius.at[si].set(r0 - eps))))
+            fd = (fp - fm) / (2 * eps)
+            assert abs(fd - gr[si]) < 2e-3 * max(1e-9, abs(fd)), (si, fd, gr[si])
+
+    def test_gradient_matches_xla_merit(self):
+        """Full-stack gradient parity vs the XLA trace path on the same
+        pupils (f64, CPU)."""
+        from optiland_tpu.core import raygen
+        from optiland_tpu.core import trace as trace_core
+        from optiland_tpu.ops.pallas_trace import spot_rms_fast_field
+
+        sys_ = CookeTriplet().system
+        Px, Py = self._pupils(512)
+        H = jnp.zeros_like(Px)
+        Hy = jnp.full_like(Px, 0.7)
+
+        def f_pallas(stack):
+            return spot_rms_fast_field(
+                sys_.replace(stack=stack), 0.0, 0.7, 0.55, Px=Px, Py=Py
+            )
+
+        def f_xla(stack):
+            s2 = sys_.replace(stack=stack)
+            rays = raygen.generate_rays(s2, H, Hy, Px, Py, 0.55)
+            out, _ = trace_core.trace(s2, rays, record=False)
+            return jnp.mean(
+                (out.x - jnp.mean(out.x)) ** 2
+                + (out.y - jnp.mean(out.y)) ** 2
+            )
+
+        gp = jax.grad(f_pallas)(sys_.stack)
+        gx = jax.grad(f_xla)(sys_.stack)
+        a = np.asarray(gp.radius)[1:-1]
+        b = np.asarray(gx.radius)[1:-1]
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-12)
+
+    def test_prng_mode_requires_tpu(self):
+        from optiland_tpu.ops.pallas_trace import spot_rms_fast_field
+
+        sys_ = CookeTriplet().system
+        with pytest.raises(NotImplementedError, match="PRNG"):
+            spot_rms_fast_field(sys_, 0.0, 0.7, 0.55, num_rays=1024)
