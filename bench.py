@@ -71,15 +71,25 @@ def _build_variant(name):
         # in-kernel localize/globalize rotation path
         o.surfaces.surfaces[1].rx = _np.radians(1.0)
         return o, None
-    if name == "polarized":
+    if name in ("polarized", "polarized_axis"):
         from optiland_tpu.polarization import create_polarization
 
+        if name == "polarized_axis":
+            # polarizer + retarder coats: the full s/p 2x2 in-kernel path
+            from optiland_tpu.coatings import (
+                PolarizerCoating, RetarderCoating,
+            )
+
+            c1 = PolarizerCoating(axis=(1, 0.3, 0))
+            c2 = RetarderCoating(_np.pi / 2, axis=(0.2, 1, 0))
+        else:
+            c1 = c2 = "fresnel"
         o = Optic()
         o.surfaces.add(index=0, radius=_np.inf, thickness=_np.inf)
         o.surfaces.add(index=1, radius=50.0, thickness=5.0,
-                       material="N-BK7", is_stop=True, coating="fresnel")
+                       material="N-BK7", is_stop=True, coating=c1)
         o.surfaces.add(index=2, radius=-50.0, thickness=45.0,
-                       coating="fresnel")
+                       coating=c2)
         o.surfaces.add(index=3)
         o.set_aperture("EPD", 20.0)
         o.fields.set_type("angle")
@@ -149,7 +159,7 @@ def main():
             sys_, H, jnp.full_like(Px, 0.7), Px, Py, WAVELENGTH
         )
 
-    use_pol = BENCH_SYSTEM == "polarized" and on_tpu
+    use_pol = BENCH_SYSTEM.startswith("polarized") and on_tpu
 
     def final_xy(sys_, rays_):
         if use_pol:

@@ -264,7 +264,13 @@ def _surface_step(stack, cfg, s, pos_s, state):
 # deep scan-supported systems; "unrolled"/"scan" force a path. Read per
 # call so it can be toggled after import (e.g. by tests).
 _ENGINE_MODES = ("auto", "unrolled", "scan")
-_AUTO_SCAN_MIN_SURFACES = 12
+# Measured on this host (tools/measure_scan_threshold.py, table in
+# docs/PROFILE.md): unrolled XLA compile grows ~0.5 s/surface while the
+# scan engine compiles in a flat ~0.5 s with equal-or-better runtime from
+# 8 surfaces up and a sub-ms penalty below that. 4 = effectively "always
+# scan when supported" (every real system has >= 3 surfaces); the TPU hot
+# path is unaffected (Pallas dispatch precedes engine selection).
+_AUTO_SCAN_MIN_SURFACES = 4
 
 
 def _engine_mode() -> str:
@@ -598,9 +604,15 @@ def trace_scan(system: System, rays: RealRays, record: bool = True):
         out = (x, y, z, L, M, N, inten, opd) if record else None
         return carry, out
 
-    carry0 = (
-        rays.x, rays.y, rays.z, rays.L, rays.M, rays.N, rays.i, rays.opd,
-        n_all_s[0],
+    # Promote the carry to the rays/params common dtype up front: with f32
+    # rays under x64 (f64 stack params) the body promotes f32 -> f64, which
+    # lax.scan rejects as a carry-type mismatch. The unrolled engine
+    # produces f64 outputs for that mix, so this matches its semantics.
+    cdt = jnp.result_type(rays.x.dtype, stack.radius.dtype)
+    carry0 = tuple(
+        jnp.asarray(a, cdt)
+        for a in (rays.x, rays.y, rays.z, rays.L, rays.M, rays.N, rays.i,
+                  rays.opd, n_all_s[0])
     )
     carry, ys = lax.scan(body, carry0, xs)
     x, y, z, L, M, N, inten, opd, _ = carry

@@ -25,7 +25,10 @@ Coating models covered in-kernel (static per-surface dispatch):
   - FresnelCoating: bare-interface Fresnel amplitude coefficients with the
     complex sqrt expanded to real pairs, so TIR phase is exact
     (reference: coatings.py:362, jones.py:56)
-Polarizer/retarder/thin-film coatings fall back to the XLA path.
+  - PolarizerCoating / RetarderCoating: full s/p-frame 2x2 Jones with
+    cross terms from the global-axis projection (reference:
+    coatings.py:418,450, jones.py:120,331)
+ThinFilmCoating (per-ray TMM amplitudes) falls back to the XLA path.
 
 Backward: in-kernel VJP (same design as ops/pallas_trace._pallas_bwd) —
 jax.vjp of the identical chain traced into the kernel body, scalar
@@ -38,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -60,7 +64,9 @@ from optiland_tpu.ops.pallas_trace import (
 TILE_ROWS_POL_FWD = 128
 TILE_ROWS_POL_BWD = 16
 
-N_COAT = 2  # per-surface coating scalars (n1, n2) or (T, R)
+N_COAT = 4  # per-surface coating scalars:
+#   fresnel   (n1, n2, 0, 0)    simple (T, R, 0, 0)
+#   polarizer (ax, ay, az, 0)   retarder (d, ax, ay, az)
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +139,62 @@ def _fresnel_diag(n1, n2, adot, reflect):
     return js, jp, (one, zero)
 
 
+def _axis_jones_tile(kind, getcoat, s, basis):
+    """(s, p, z)-frame Jones 3x3 (real-pair nested list, None = zero) for
+    the axis-based coatings, computed per ray from the local basis.
+
+    polarizer: J = u_out u_in^T with u = normalized projection of the
+    global transmission axis onto (s, p) (reference: jones.py:120 /
+    polarization.JonesLinearPolarizer).
+    retarder: J = e^{-id/2} diag rotated by the fast-axis projection
+    (reference: jones.py:331 / polarization.JonesLinearRetarder).
+    Coat-table columns: polarizer (ax, ay, az, 0); retarder
+    (d, ax, ay, az)."""
+    s_b, p0_b, p1_b = basis
+
+    def dot_axis(ax, ay, az, v):
+        return ax * v[0] + ay * v[1] + az * v[2]
+
+    zero = jnp.zeros_like(s_b[0])
+    one = jnp.ones_like(s_b[0])
+    if kind == "polarizer":
+        ax, ay, az = getcoat(s, 0), getcoat(s, 1), getcoat(s, 2)
+        ts_in = dot_axis(ax, ay, az, s_b)
+        tp_in = dot_axis(ax, ay, az, p0_b)
+        nin = jnp.sqrt(ts_in**2 + tp_in**2)
+        nin = jnp.where(nin == 0, 1.0, nin)
+        tp_out = dot_axis(ax, ay, az, p1_b)
+        nout = jnp.sqrt(ts_in**2 + tp_out**2)
+        nout = jnp.where(nout == 0, 1.0, nout)
+        us_in, up_in = ts_in / nin, tp_in / nin
+        us_out, up_out = ts_in / nout, tp_out / nout
+        return [
+            [(us_out * us_in, zero), (us_out * up_in, zero), None],
+            [(up_out * us_in, zero), (up_out * up_in, zero), None],
+            [None, None, (one, zero)],
+        ]
+    # retarder: in-plane fast-axis projection uses (s, p0) only
+    # (polarization._in_plane_axis)
+    d = getcoat(s, 0)
+    ax, ay, az = getcoat(s, 1), getcoat(s, 2), getcoat(s, 3)
+    ts = dot_axis(ax, ay, az, s_b)
+    tp = dot_axis(ax, ay, az, p0_b)
+    norm = jnp.sqrt(ts**2 + tp**2)
+    norm = jnp.where(norm == 0, 1.0, norm)
+    us, up = ts / norm, tp / norm
+    cd2 = jnp.cos(d / 2)
+    sd2 = jnp.sin(d / 2)
+    # e^{-id/2} us^2 + e^{+id/2} up^2 etc., expanded to real pairs
+    j00 = (cd2 * (us * us + up * up), sd2 * (up * up - us * us))
+    j0x = (zero, -2 * sd2 * us * up)
+    j11 = (cd2 * (us * us + up * up), sd2 * (us * us - up * up))
+    return [
+        [j00, j0x, None],
+        [j0x, j11, None],
+        [None, None, (one, zero)],
+    ]
+
+
 def _identity_p(x):
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
@@ -141,29 +203,44 @@ def _identity_p(x):
     return p_re, p_im
 
 
-def _update_p_tile(p_re, p_im, k0, k1, diag):
-    """p <- surf @ p with surf = sum of three rank-1 outer products.
+def _update_p_tile(p_re, p_im, k0, k1, diag, jmat=None, basis=None):
+    """p <- surf @ p with surf = sum of rank-1 outer products.
 
     ``diag`` is None (identity Jones: pure basis rotation) or a 3-tuple of
-    (re, im) pairs (Js, Jp, Jz)."""
-    s, p0, p1 = _local_basis_tile(k0, k1)
+    (re, im) pairs (Js, Jp, Jz). ``jmat`` (overrides ``diag``) is a full
+    3x3 nested list of (re, im) pairs in the (s, p, z) frame with ``None``
+    marking structural zeros — used by the polarizer/retarder coatings
+    whose Jones matrices have s/p cross terms. ``basis`` optionally passes
+    a precomputed ``_local_basis_tile`` result (the caller needed it to
+    build ``jmat``)."""
+    if basis is None:
+        basis = _local_basis_tile(k0, k1)
+    s, p0, p1 = basis
     b_out = (s, p1, k1)
     b_in = (s, p0, k0)
-    if diag is None:
-        one = jnp.ones_like(k0[0])
-        zero = jnp.zeros_like(k0[0])
-        diag = (((one, zero),) * 3)
-    # surf[i][l] = sum_k b_out[k][i] * J_k * b_in[k][l]
+    if jmat is None:
+        if diag is None:
+            one = jnp.ones_like(k0[0])
+            zero = jnp.zeros_like(k0[0])
+            diag = (((one, zero),) * 3)
+        jmat = [
+            [diag[a] if a == b else None for b in range(3)]
+            for a in range(3)
+        ]
+    # surf[i][l] = sum_{a,b} b_out[a][i] * J[a][b] * b_in[b][l]
     surf_re = [[None] * 3 for _ in range(3)]
     surf_im = [[None] * 3 for _ in range(3)]
     for i in range(3):
         for l in range(3):
             sr = si = 0.0
-            for kk in range(3):
-                coef = b_out[kk][i] * b_in[kk][l]
-                jr, ji = diag[kk]
-                sr = sr + coef * jr
-                si = si + coef * ji
+            for a in range(3):
+                for b in range(3):
+                    if jmat[a][b] is None:
+                        continue
+                    coef = b_out[a][i] * b_in[b][l]
+                    jr, ji = jmat[a][b]
+                    sr = sr + coef * jr
+                    si = si + coef * ji
             surf_re[i][l] = sr
             surf_im[i][l] = si
     new_re = [[None] * 3 for _ in range(3)]
@@ -249,6 +326,8 @@ def _chain_pol(spec, coat_kinds, getp, getc, getcoat,
         L0, M0, N0, L1, M1, N1, adot = extras
         kind = coat_kinds[s]
         diag = None
+        jmat = None
+        basis = None
         if kind == "simple":
             # intensity factor after the interaction
             # (reference: coatings.py:164-200; T column 0, R column 1)
@@ -260,8 +339,12 @@ def _chain_pol(spec, coat_kinds, getp, getc, getcoat,
             diag = _fresnel_diag(
                 getcoat(s, 0), getcoat(s, 1), adot, refl[s]
             )
+        elif kind in ("polarizer", "retarder"):
+            basis = _local_basis_tile((L0, M0, N0), (L1, M1, N1))
+            jmat = _axis_jones_tile(kind, getcoat, s, basis)
         p_re, p_im = _update_p_tile(
-            p_re, p_im, (L0, M0, N0), (L1, M1, N1), diag
+            p_re, p_im, (L0, M0, N0), (L1, M1, N1), diag,
+            jmat=jmat, basis=basis,
         )
     flat_p = [p_re[i][j] for i in range(3) for j in range(3)] + [
         p_im[i][j] for i in range(3) for j in range(3)
@@ -486,7 +569,12 @@ def _assemble_p(p_flat):
 
 
 def _coat_kinds(system):
-    from optiland_tpu.coatings import FresnelCoating, SimpleCoating
+    from optiland_tpu.coatings import (
+        FresnelCoating,
+        PolarizerCoating,
+        RetarderCoating,
+        SimpleCoating,
+    )
 
     kinds = []
     for c in system.cfg.coatings or (None,) * system.cfg.num_surfaces:
@@ -496,6 +584,10 @@ def _coat_kinds(system):
             kinds.append("simple")
         elif type(c) is FresnelCoating:
             kinds.append("fresnel")
+        elif type(c) is PolarizerCoating:
+            kinds.append("polarizer")
+        elif type(c) is RetarderCoating:
+            kinds.append("retarder")
         else:
             kinds.append("unsupported")
     return tuple(kinds)
@@ -537,10 +629,19 @@ def build_coat_table(system, wavelength):
             rows.append(jnp.stack([
                 jnp.ravel(jnp.asarray(c.material_pre.n(wavelength), dt))[0],
                 jnp.ravel(jnp.asarray(c.material_post.n(wavelength), dt))[0],
+                jnp.zeros((), dt), jnp.zeros((), dt),
             ]))
         elif kind == "simple":
             rows.append(jnp.asarray(
-                [c.transmittance, c.reflectance], dt
+                [c.transmittance, c.reflectance, 0.0, 0.0], dt
+            ))
+        elif kind == "polarizer":
+            ax = np.asarray(c._jones.axis, float)
+            rows.append(jnp.asarray([ax[0], ax[1], ax[2], 0.0], dt))
+        elif kind == "retarder":
+            ax = np.asarray(c._jones.axis, float)
+            rows.append(jnp.asarray(
+                [float(c._jones.retardance), ax[0], ax[1], ax[2]], dt
             ))
         else:
             rows.append(jnp.zeros((N_COAT,), dt))

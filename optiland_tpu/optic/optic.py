@@ -1118,6 +1118,17 @@ class Optic:
 
         return OpticViewer3D(self).view(**kwargs)
 
+    def draw3D_interactive(self, path=None, open_browser=False, **kwargs):
+        """Write the interactive WebGL 3D viewer page (camera orbit/zoom/
+        pan + pickable surfaces) and return its path
+        (reference capability: visualization/system/optic_viewer_3d.py:22
+        — the VTK interactive viewer)."""
+        from optiland_tpu.visualization import OpticViewer3DHTML
+
+        return OpticViewer3DHTML(self).view(
+            path=path, open_browser=open_browser, **kwargs
+        )
+
     def info(self):
         """Print the prescription tables
         (reference: Optic.info, optic/optic.py:660-690)."""

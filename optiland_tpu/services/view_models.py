@@ -1,0 +1,519 @@
+"""Headless panel view-models: the full editing/analysis logic of the GUI
+panels, testable without Qt.
+
+The Qt widgets in ``optiland_tpu_gui`` are thin bindings over these
+models, mirroring the reference's panel feature set:
+  * ``LensEditorModel`` — the spreadsheet lens-data editor with per-type
+    dynamic columns, cell descriptors (kind/choices/editable), TSV
+    clipboard copy/paste, row insert/remove/move, and undo integration
+    (reference: optiland_gui/lens_editor.py — per-type delegates and
+    editing UX).
+  * ``AnalysisPanelModel`` — tabbed analysis sessions with schema-driven
+    settings, re-run, PNG figure export, CSV data export
+    (reference: optiland_gui/analysis_panel.py:1-1664).
+  * ``SystemPropertiesModel`` — paged system properties (aperture,
+    fields, wavelengths, polarization, environment, notes) with staged
+    edits and apply/revert
+    (reference: optiland_gui/system_properties_panel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+
+import numpy as np
+
+from optiland_tpu.services.gui_support import (
+    SURFACE_TYPE_FIELDS,
+    AnalysisSession,
+)
+
+# ---------------------------------------------------------------------------
+# Lens editor
+# ---------------------------------------------------------------------------
+
+_BASE_COLUMNS = ("Type", "Comment", "Radius", "Thickness", "Material",
+                 "Conic", "Semi-Diameter")
+
+# extra spreadsheet columns per surface type (reference: the per-type
+# column delegates of optiland_gui/lens_editor.py; here each maps onto
+# SurfaceService.get_type_params/set_type_params)
+_TYPE_COLUMNS = {
+    "even_asphere": tuple(f"A{2 * (i + 2)}" for i in range(6)),
+    "odd_asphere": tuple(f"B{i + 3}" for i in range(6)),
+    "polynomial": tuple(f"C{i}" for i in range(6)),
+    "toroidal": ("R rot",),
+    "biconic": ("Ry", "ky"),
+    "grating": ("Period", "Order", "Groove angle"),
+}
+
+_MATERIAL_CHOICES = (
+    "air", "mirror", "N-BK7", "N-SF11", "F2", "N-SK16", "SF5", "N-LAK22",
+    "N-SF5", "N-SK2", "SK16", "N-F2",
+)
+
+
+@dataclasses.dataclass
+class CellSpec:
+    """Descriptor of one editable cell (drives the Qt delegate choice)."""
+
+    kind: str  # "choice" | "float" | "text" | "readonly"
+    choices: tuple = ()
+    editable: bool = True
+
+
+class LensEditorModel:
+    """Spreadsheet model over SurfaceService with per-type dynamic columns.
+
+    Row labels, cell access, and structural edits match the reference LDE;
+    every mutation snapshots for undo through the connector.
+    """
+
+    def __init__(self, connector):
+        self.c = connector
+        self.svc = connector.surfaces
+
+    # ---------------- shape ----------------
+
+    def row_count(self) -> int:
+        return self.svc.get_surface_count()
+
+    def extra_columns(self) -> list[str]:
+        """Union of the extra columns needed by the types present (the
+        reference shows type-specific columns; a union keeps the grid
+        rectangular)."""
+        cols: list[str] = []
+        optic = self.c.get_optic()
+        for s in optic.surfaces.surfaces:
+            for name in _TYPE_COLUMNS.get(s.surface_type or "standard", ()):
+                if name not in cols:
+                    cols.append(name)
+        return cols
+
+    def column_headers(self) -> list[str]:
+        return list(_BASE_COLUMNS) + self.extra_columns()
+
+    def row_label(self, row: int) -> str:
+        n = self.row_count()
+        optic = self.c.get_optic()
+        if row == 0:
+            return "OBJ"
+        if row == n - 1:
+            return "IMG"
+        if getattr(optic.surfaces.surfaces[row], "is_stop", False):
+            return f"STO {row}"
+        return str(row)
+
+    def stop_row(self):
+        for i, s in enumerate(self.c.get_optic().surfaces.surfaces):
+            if getattr(s, "is_stop", False):
+                return i
+        return None
+
+    # ---------------- cells ----------------
+
+    def cell_spec(self, row: int, col: int) -> CellSpec:
+        headers = self.column_headers()
+        name = headers[col]
+        if name == "Type":
+            return CellSpec(
+                "choice",
+                tuple(self.svc.get_available_surface_types()),
+                editable=0 < row < self.row_count() - 1,
+            )
+        if name == "Comment":
+            return CellSpec("text")
+        if name == "Material":
+            return CellSpec("choice", _MATERIAL_CHOICES,
+                            editable=row < self.row_count() - 1)
+        if name in _BASE_COLUMNS:
+            return CellSpec("float")
+        # extra column: editable only when the row's type declares it
+        t = self.c.get_optic().surfaces.surfaces[row].surface_type
+        owned = name in _TYPE_COLUMNS.get(t or "standard", ())
+        return CellSpec("float" if owned else "readonly", editable=owned)
+
+    def get_cell(self, row: int, col: int):
+        headers = self.column_headers()
+        name = headers[col]
+        if name in _BASE_COLUMNS:
+            return self.svc.get_surface_data(row, _BASE_COLUMNS.index(name))
+        t = self.c.get_optic().surfaces.surfaces[row].surface_type
+        tcols = _TYPE_COLUMNS.get(t or "standard", ())
+        if name not in tcols:
+            return None
+        return self._get_extra(row, t, tcols.index(name))
+
+    def set_cell(self, row: int, col: int, value) -> bool:
+        """Returns True when the model changed (False: not editable)."""
+        spec = self.cell_spec(row, col)
+        if not spec.editable:
+            return False
+        headers = self.column_headers()
+        name = headers[col]
+        if name in _BASE_COLUMNS:
+            self.svc.set_surface_data(
+                row, _BASE_COLUMNS.index(name), value
+            )
+            return True
+        t = self.c.get_optic().surfaces.surfaces[row].surface_type
+        tcols = _TYPE_COLUMNS.get(t or "standard", ())
+        self._set_extra(row, t, tcols.index(name), float(value))
+        return True
+
+    def _get_extra(self, row, t, k):
+        p = self.svc.get_type_params(row)
+        if t in ("even_asphere", "odd_asphere", "polynomial"):
+            coeffs = p.get("coefficients", [])
+            return coeffs[k] if k < len(coeffs) else 0.0
+        if t == "toroidal":
+            return p.get("radius_y", 0.0)
+        if t == "biconic":
+            return (p.get("radius_y", 0.0), p.get("conic_y", 0.0))[k]
+        if t == "grating":
+            return (
+                p.get("grating_period", 0.0),
+                p.get("grating_order", 0),
+                p.get("groove_orientation_angle", 0.0),
+            )[k]
+        return None
+
+    def _set_extra(self, row, t, k, value):
+        if t in ("even_asphere", "odd_asphere", "polynomial"):
+            p = self.svc.get_type_params(row)
+            coeffs = list(p.get("coefficients", []))
+            while len(coeffs) <= k:
+                coeffs.append(0.0)
+            coeffs[k] = value
+            self.svc.set_type_params(row, coefficients=coeffs)
+        elif t == "toroidal":
+            self.svc.set_type_params(row, radius_y=value)
+        elif t == "biconic":
+            key = ("radius_y", "conic_y")[k]
+            self.svc.set_type_params(row, **{key: value})
+        elif t == "grating":
+            key = ("grating_period", "grating_order",
+                   "groove_orientation_angle")[k]
+            self.svc.set_type_params(row, **{key: value})
+
+    # ---------------- structure ----------------
+
+    def insert_row(self, at: int):
+        self.svc.add_surface(index=at)
+
+    def remove_row(self, row: int):
+        self.svc.remove_surface(row)
+
+    def move_row(self, row: int, delta: int):
+        """Swap a surface with its neighbor (reference LDE drag-reorder)."""
+        n = self.row_count()
+        other = row + delta
+        if not (0 < row < n - 1 and 0 < other < n - 1):
+            raise ValueError("can only move interior surfaces")
+        self.c.snapshot()
+        optic = self.c.get_optic()
+        ss = optic.surfaces.surfaces
+        ss[row], ss[other] = ss[other], ss[row]
+        optic._invalidate()
+        self.c.notify("surface_changed", row=row, col=-1)
+
+    def set_stop(self, row: int):
+        self.svc.set_stop_surface(row)
+
+    # ---------------- clipboard (TSV) ----------------
+
+    def copy_rows(self, rows: list[int]) -> str:
+        """Spreadsheet-interchange TSV block of the selected rows."""
+        headers = self.column_headers()
+        lines = ["\t".join(headers)]
+        for r in sorted(rows):
+            vals = []
+            for cidx in range(len(headers)):
+                v = self.get_cell(r, cidx)
+                vals.append("" if v is None else str(v))
+            lines.append("\t".join(vals))
+        return "\n".join(lines)
+
+    def paste_block(self, row0: int, col0: int, tsv: str) -> int:
+        """Paste a TSV block anchored at (row0, col0); skips non-editable
+        cells. Returns the number of cells written. One undo snapshot for
+        the whole paste."""
+        self.c.snapshot()
+        written = 0
+        headers = self.column_headers()
+        lines = [ln for ln in tsv.splitlines() if ln.strip()]
+        if lines and lines[0].split("\t")[:1] == ["Type"]:
+            lines = lines[1:]  # tolerate a copied header row
+        for dr, line in enumerate(lines):
+            r = row0 + dr
+            if r >= self.row_count():
+                break
+            for dc, text in enumerate(line.split("\t")):
+                cidx = col0 + dc
+                if cidx >= len(headers) or not text:
+                    continue
+                spec = self.cell_spec(r, cidx)
+                if not spec.editable:
+                    continue
+                try:
+                    val = float(text) if spec.kind == "float" else text
+                except ValueError:
+                    continue
+                if self.set_cell(r, cidx, val):
+                    written += 1
+        return written
+
+
+# ---------------------------------------------------------------------------
+# Analysis panel
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class AnalysisTab:
+    seq: int
+    name: str
+    record: object  # AnalysisRecord
+    title: str
+
+
+class AnalysisPanelModel:
+    """Tabbed analysis panel over AnalysisSession: run analyses with
+    schema-driven settings into tabs; re-run, close, export PNG/CSV
+    (reference: optiland_gui/analysis_panel.py figure tabs + toolbars)."""
+
+    def __init__(self, connector, limit: int = 25):
+        self.session = AnalysisSession(connector.analysis, limit=limit)
+        self.tabs: list[AnalysisTab] = []
+        self.active: int | None = None
+
+    # ---------------- registry/settings ----------------
+
+    def available(self) -> list[str]:
+        return sorted(self.session.registry())
+
+    def settings_schema(self, name: str):
+        return self.session.schema(name)
+
+    # ---------------- tabs ----------------
+
+    def run(self, name: str, **kwargs) -> AnalysisTab:
+        rec = self.session.run(name, **kwargs)
+        args = ", ".join(f"{k}={v}" for k, v in sorted(kwargs.items()))
+        tab = AnalysisTab(
+            seq=rec.seq, name=name, record=rec,
+            title=f"{name} [{rec.seq}]" + (f" ({args})" if args else ""),
+        )
+        self.tabs.append(tab)
+        self.active = len(self.tabs) - 1
+        return tab
+
+    def rerun(self, tab_index: int) -> AnalysisTab:
+        """Re-run a tab's analysis with its stored settings against the
+        CURRENT system, replacing the tab in place."""
+        old = self.tabs[tab_index]
+        rec = self.session.rerun(old.seq)
+        tab = AnalysisTab(
+            seq=rec.seq, name=old.name, record=rec, title=old.title
+        )
+        self.tabs[tab_index] = tab
+        self.active = tab_index
+        return tab
+
+    def close_tab(self, tab_index: int):
+        self.tabs.pop(tab_index)
+        if not self.tabs:
+            self.active = None
+        elif self.active is not None and self.active >= len(self.tabs):
+            self.active = len(self.tabs) - 1
+
+    # ---------------- export ----------------
+
+    def export_png(self, tab_index: int, path: str) -> str:
+        """Render the tab's analysis figure to a PNG file (Agg backend,
+        headless-safe) — the reference panel's toolbar save action."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        rec = self.tabs[tab_index].record
+        out = rec.result.view()
+        fig = out[0] if isinstance(out, tuple) else out
+        if not hasattr(fig, "savefig"):
+            fig = getattr(fig, "figure", None) or plt.gcf()
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        return path
+
+    def export_csv(self, tab_index: int, path: str) -> str:
+        """Dump the analysis's numeric data arrays as CSV columns."""
+        rec = self.tabs[tab_index].record
+        data = getattr(rec.result, "data", None)
+        cols: dict[str, np.ndarray] = {}
+
+        def walk(prefix, node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(f"{prefix}{k}." if prefix else f"{k}.", v)
+            else:
+                arr = np.ravel(np.asarray(node, float))
+                cols[prefix.rstrip(".")] = arr
+
+        if isinstance(data, dict):
+            walk("", data)
+        elif data is not None:
+            cols["data"] = np.ravel(np.asarray(data, float))
+        else:
+            raise ValueError(
+                f"analysis {self.tabs[tab_index].name!r} has no exportable "
+                "data"
+            )
+        n = max(len(v) for v in cols.values())
+        buf = io.StringIO()
+        buf.write(",".join(cols.keys()) + "\n")
+        for i in range(n):
+            buf.write(",".join(
+                f"{v[i]!r}" if i < len(v) else "" for v in cols.values()
+            ) + "\n")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        return path
+
+
+# ---------------------------------------------------------------------------
+# System properties
+# ---------------------------------------------------------------------------
+
+
+class SystemPropertiesModel:
+    """Paged system properties with staged edits: ``load()`` the current
+    state, mutate the staged dict, ``apply()`` writes it back through one
+    undo snapshot (reference: optiland_gui/system_properties_panel.py)."""
+
+    PAGES = ("Aperture", "Fields", "Wavelengths", "Polarization",
+             "Environment", "Notes")
+
+    def __init__(self, connector):
+        self.c = connector
+        self.staged: dict = {}
+        self.load()
+
+    # ---------------- read ----------------
+
+    def load(self):
+        o = self.c.get_optic()
+        ap = getattr(o, "aperture", None)
+        self.staged = {
+            "aperture": {
+                "type": getattr(ap, "ap_type", "EPD") if ap else "EPD",
+                "value": float(getattr(ap, "value", 0.0)) if ap else 0.0,
+            },
+            "fields": {
+                "type": o.fields.field_type,
+                "telecentric": bool(o.fields.telecentric),
+                "points": [
+                    {"x": f.x, "y": f.y, "vx": f.vx, "vy": f.vy,
+                     "weight": f.weight}
+                    for f in o.fields.fields
+                ],
+            },
+            "wavelengths": [
+                {"value": w.value, "primary": w.is_primary,
+                 "weight": w.weight}
+                for w in o.wavelengths.wavelengths
+            ],
+            "polarization": getattr(o, "polarization", "ignore"),
+            "environment": self._env_state(o),
+            "notes": getattr(o, "comment", "") or "",
+        }
+        return self.staged
+
+    @staticmethod
+    def _env_state(o):
+        env = getattr(o, "environment", None)
+        if env is None:
+            return {"temperature": 20.0, "pressure": 101325.0}
+        return {
+            "temperature": float(getattr(env, "temperature", 20.0)),
+            "pressure": float(getattr(env, "pressure", 101325.0)),
+        }
+
+    # ---------------- staged edits ----------------
+
+    def set_aperture(self, ap_type: str, value: float):
+        self.staged["aperture"] = {"type": ap_type, "value": float(value)}
+
+    def set_field_type(self, ftype: str):
+        self.staged["fields"]["type"] = ftype
+
+    def add_field(self, x=0.0, y=0.0, vx=0.0, vy=0.0, weight=1.0):
+        self.staged["fields"]["points"].append(
+            {"x": x, "y": y, "vx": vx, "vy": vy, "weight": weight}
+        )
+
+    def remove_field(self, idx: int):
+        self.staged["fields"]["points"].pop(idx)
+
+    def add_wavelength(self, value_um: float, primary=False, weight=1.0):
+        self.staged["wavelengths"].append(
+            {"value": float(value_um), "primary": primary, "weight": weight}
+        )
+
+    def remove_wavelength(self, idx: int):
+        self.staged["wavelengths"].pop(idx)
+
+    def set_primary_wavelength(self, idx: int):
+        for i, w in enumerate(self.staged["wavelengths"]):
+            w["primary"] = i == idx
+
+    def set_polarization(self, state):
+        self.staged["polarization"] = state
+
+    def set_notes(self, text: str):
+        self.staged["notes"] = text
+
+    # ---------------- apply/revert ----------------
+
+    def dirty(self) -> bool:
+        current = SystemPropertiesModel(self.c).staged
+        return current != self.staged
+
+    def revert(self):
+        self.load()
+
+    def apply(self):
+        """Write every staged page back in one undo step."""
+        self.c.snapshot()
+        o = self.c.get_optic()
+        ap = self.staged["aperture"]
+        o.set_aperture(ap["type"], ap["value"])
+        o.fields.fields.clear()
+        o.fields.set_type(self.staged["fields"]["type"])
+        o.fields.set_telecentric(self.staged["fields"]["telecentric"])
+        for p in self.staged["fields"]["points"]:
+            o.fields.add(x=p["x"], y=p["y"], vx=p["vx"], vy=p["vy"],
+                         weight=p["weight"])
+        o.wavelengths.wavelengths.clear()
+        if not any(w["primary"] for w in self.staged["wavelengths"]):
+            if self.staged["wavelengths"]:
+                self.staged["wavelengths"][0]["primary"] = True
+        for w in self.staged["wavelengths"]:
+            o.wavelengths.add(w["value"], is_primary=w["primary"],
+                              weight=w["weight"])
+        if self.staged["polarization"] != getattr(o, "polarization",
+                                                  "ignore"):
+            o.set_polarization(self.staged["polarization"])
+        o.comment = self.staged["notes"]
+        o._invalidate()
+        self.c.notify("optic_loaded")
+
+
+__all__ = [
+    "AnalysisPanelModel",
+    "AnalysisTab",
+    "CellSpec",
+    "LensEditorModel",
+    "SystemPropertiesModel",
+]

@@ -15,6 +15,7 @@ from optiland_tpu.visualization.viewer3d import (
     Rays3D,
     Surface3D,
 )
+from optiland_tpu.visualization.webgl import OpticViewer3DHTML
 from optiland_tpu.visualization.info import LensInfoViewer
 from optiland_tpu.visualization.themes import Theme, set_theme, theme_context
 
@@ -25,6 +26,7 @@ __all__ = [
     "Mirror3D",
     "OpticViewer",
     "OpticViewer3D",
+    "OpticViewer3DHTML",
     "Rays3D",
     "Surface3D",
     "Theme",

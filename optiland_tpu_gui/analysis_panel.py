@@ -1,20 +1,19 @@
 """Analysis panel — analysis picker with an auto-generated settings form,
-tabbed result figures with history, and error reporting
-(reference: optiland_gui/analysis_panel.py, 1,664 LoC;
-services/analysis_runner.py:15-50).
+tabbed result figures with per-tab re-run and PNG/CSV export
+(reference: optiland_gui/analysis_panel.py, 1,664 LoC — figure tabs,
+toolbars, export; services/analysis_runner.py:15-50).
 
 Settings forms are generated from each analysis class's constructor
-signature (optiland_tpu.services.gui_support.analysis_settings_schema);
-every run lands in a new figure tab backed by the AnalysisSession history,
-so previous results stay inspectable and re-runnable.
+signature; tab lifecycle, re-run-against-current-system, and the export
+actions live in the headless
+``optiland_tpu.services.view_models.AnalysisPanelModel`` (tested without
+Qt in tests/test_view_models.py); this widget binds figures to its tabs.
 """
 
 from __future__ import annotations
 
-from optiland_tpu.services.gui_support import (
-    AnalysisSession,
-    coerce_setting,
-)
+from optiland_tpu.services.gui_support import coerce_setting
+from optiland_tpu.services.view_models import AnalysisPanelModel
 
 from optiland_tpu_gui.qt import (
     QCheckBox,
@@ -23,6 +22,7 @@ from optiland_tpu_gui.qt import (
     QHBoxLayout,
     QLabel,
     QLineEdit,
+    QFileDialog,
     QPlainTextEdit,
     QPushButton,
     QTabWidget,
@@ -98,13 +98,21 @@ class AnalysisPanel(QWidget):
     def __init__(self, connector, parent=None):
         super().__init__(parent)
         self.connector = connector
-        self.session = AnalysisSession(connector.analysis)
+        core = getattr(connector, "core", connector)
+        self.model = AnalysisPanelModel(core)
+        self.session = self.model.session
 
         self.combo = QComboBox(self)
-        self.combo.addItems(sorted(self.session.registry()))
+        self.combo.addItems(self.model.available())
         self.combo.currentTextChanged.connect(self._rebuild_form)
         self.run_btn = QPushButton("Run", self)
         self.run_btn.clicked.connect(self.run_current)
+        self.rerun_btn = QPushButton("Re-run tab", self)
+        self.rerun_btn.clicked.connect(self.rerun_current_tab)
+        self.png_btn = QPushButton("Export PNG", self)
+        self.png_btn.clicked.connect(self.export_png)
+        self.csv_btn = QPushButton("Export CSV", self)
+        self.csv_btn.clicked.connect(self.export_csv)
         self.clear_btn = QPushButton("Clear", self)
         self.clear_btn.clicked.connect(self.clear_results)
 
@@ -112,6 +120,9 @@ class AnalysisPanel(QWidget):
         top.addWidget(QLabel("Analysis"))
         top.addWidget(self.combo, 1)
         top.addWidget(self.run_btn)
+        top.addWidget(self.rerun_btn)
+        top.addWidget(self.png_btn)
+        top.addWidget(self.csv_btn)
         top.addWidget(self.clear_btn)
 
         self._form_host = QVBoxLayout()
@@ -119,7 +130,7 @@ class AnalysisPanel(QWidget):
 
         self.tabs = QTabWidget(self)
         self.tabs.setTabsClosable(True)
-        self.tabs.tabCloseRequested.connect(self.tabs.removeTab)
+        self.tabs.tabCloseRequested.connect(self._close_tab)
 
         self.log = QPlainTextEdit(self)
         self.log.setReadOnly(True)
@@ -154,15 +165,16 @@ class AnalysisPanel(QWidget):
             except (TypeError, ValueError) as err:
                 self.log.appendPlainText(f"bad settings: {err}")
                 return None
-        rec = self.session.run(name, **kwargs)
+        tab = self.model.run(name, **kwargs)
+        rec = tab.record
         if rec.error is not None:
+            self.model.close_tab(len(self.model.tabs) - 1)
             self.log.appendPlainText(f"{name}: {rec.error}")
             return None
         canvas, figure = make_canvas()
         self._draw(rec.result, figure)
         canvas.draw_idle()
-        label = f"{rec.seq}: {name}"
-        self.tabs.addTab(canvas, label)
+        self.tabs.addTab(canvas, tab.title)
         self.tabs.setCurrentIndex(self.tabs.count() - 1)
         self.log.appendPlainText(
             f"{name}: done"
@@ -170,8 +182,61 @@ class AnalysisPanel(QWidget):
         )
         return rec.result
 
+    def rerun_current_tab(self):
+        """Re-run the active tab's analysis against the CURRENT system
+        (reference: analysis_panel.py refresh action)."""
+        idx = self.tabs.currentIndex()
+        if idx < 0:
+            return
+        tab = self.model.rerun(idx)
+        canvas, figure = make_canvas()
+        self._draw(tab.record.result, figure)
+        canvas.draw_idle()
+        old = self.tabs.widget(idx)
+        self.tabs.removeTab(idx)
+        self.tabs.insertTab(idx, canvas, tab.title)
+        self.tabs.setCurrentIndex(idx)
+        if old is not None:
+            old.deleteLater()
+        self.log.appendPlainText(f"{tab.name}: re-run")
+
+    def export_png(self):
+        idx = self.tabs.currentIndex()
+        if idx < 0:
+            return
+        path, _ = QFileDialog.getSaveFileName(
+            self, "Export figure", f"{self.model.tabs[idx].name}.png",
+            "PNG (*.png)",
+        )
+        if path:
+            self.model.export_png(idx, path)
+            self.log.appendPlainText(f"saved {path}")
+
+    def export_csv(self):
+        idx = self.tabs.currentIndex()
+        if idx < 0:
+            return
+        path, _ = QFileDialog.getSaveFileName(
+            self, "Export data", f"{self.model.tabs[idx].name}.csv",
+            "CSV (*.csv)",
+        )
+        if not path:
+            return
+        try:
+            self.model.export_csv(idx, path)
+        except ValueError as err:
+            self.log.appendPlainText(str(err))
+            return
+        self.log.appendPlainText(f"saved {path}")
+
+    def _close_tab(self, idx):
+        self.model.close_tab(idx)
+        self.tabs.removeTab(idx)
+
     def clear_results(self):
         self.session.clear()
+        while self.model.tabs:
+            self.model.close_tab(0)
         while self.tabs.count():
             self.tabs.removeTab(0)
 

@@ -1,23 +1,32 @@
-"""Lens Data Editor — spreadsheet of surfaces (reference:
-optiland_gui/lens_editor.py, services/surface_service.py:27).
+"""Lens Data Editor — spreadsheet of surfaces with per-type dynamic
+columns, typed cell delegates, clipboard copy/paste, and row reordering
+(reference: optiland_gui/lens_editor.py ~2.1k LoC — per-type delegates and
+full editing UX; services/surface_service.py:27).
 
-A QTableWidget bound to SurfaceService: one row per surface, columns from
-``SurfaceService.COLUMNS``. Edits commit through the service (which
-snapshots for undo and notifies); structural changes (add/remove/stop)
-ride the toolbar buttons.
+All editing logic lives in the headless
+``optiland_tpu.services.view_models.LensEditorModel`` (tested without Qt
+in tests/test_view_models.py); this widget is a thin binding: the table
+mirrors the model's dynamic column set, cell specs choose the editor
+(combo for choices, line-edit for floats/text), and the clipboard actions
+move TSV blocks through the model.
 """
 
 from __future__ import annotations
 
+from optiland_tpu.services.view_models import LensEditorModel
+
 from optiland_tpu_gui.qt import (
+    QApplication,
     QComboBox,
     QHBoxLayout,
     QHeaderView,
+    QKeySequence,
     QMenu,
     QPushButton,
     Qt,
     QTableWidget,
     QTableWidgetItem,
+    QShortcut,
     QVBoxLayout,
     QWidget,
 )
@@ -27,36 +36,49 @@ class LensEditor(QWidget):
     def __init__(self, connector, parent=None):
         super().__init__(parent)
         self.connector = connector
-        self.svc = connector.surfaces
+        # the model runs on the headless core (it needs snapshot/notify);
+        # Qt signals stay on this connector
+        self.model = LensEditorModel(getattr(connector, "core", connector))
         self._building = False
 
         self.table = QTableWidget(self)
-        headers = self.svc.get_column_headers()
-        self.table.setColumnCount(len(headers))
-        self.table.setHorizontalHeaderLabels(headers)
-        self.table.horizontalHeader().setSectionResizeMode(
-            QHeaderView.ResizeMode.Stretch
-        )
         self.table.itemChanged.connect(self._on_item_changed)
         self.table.setContextMenuPolicy(
             Qt.ContextMenuPolicy.CustomContextMenu
         )
         self.table.customContextMenuRequested.connect(self._context_menu)
+        self.table.horizontalHeader().setSectionResizeMode(
+            QHeaderView.ResizeMode.ResizeToContents
+        )
 
         btns = QHBoxLayout()
-        self.btn_add = QPushButton("Add Surface", self)
-        self.btn_remove = QPushButton("Remove Surface", self)
+        self.btn_add = QPushButton("Insert", self)
+        self.btn_remove = QPushButton("Remove", self)
         self.btn_stop = QPushButton("Make Stop", self)
+        self.btn_up = QPushButton("Move Up", self)
+        self.btn_down = QPushButton("Move Down", self)
         self.btn_add.clicked.connect(self._add_surface)
         self.btn_remove.clicked.connect(self._remove_surface)
         self.btn_stop.clicked.connect(self._make_stop)
-        for b in (self.btn_add, self.btn_remove, self.btn_stop):
+        self.btn_up.clicked.connect(lambda: self._move(-1))
+        self.btn_down.clicked.connect(lambda: self._move(+1))
+        for b in (self.btn_add, self.btn_remove, self.btn_stop,
+                  self.btn_up, self.btn_down):
             btns.addWidget(b)
         btns.addStretch(1)
 
         layout = QVBoxLayout(self)
         layout.addLayout(btns)
         layout.addWidget(self.table)
+
+        QShortcut(QKeySequence.StandardKey.Copy, self.table,
+                  activated=self._copy)
+        QShortcut(QKeySequence.StandardKey.Paste, self.table,
+                  activated=self._paste)
+        QShortcut(QKeySequence.StandardKey.Undo, self.table,
+                  activated=connector.undo)
+        QShortcut(QKeySequence.StandardKey.Redo, self.table,
+                  activated=connector.redo)
 
         connector.opticLoaded.connect(self.rebuild)
         connector.surfaceCountChanged.connect(self.rebuild)
@@ -67,52 +89,44 @@ class LensEditor(QWidget):
     def rebuild(self):
         self._building = True
         try:
-            n = self.svc.get_surface_count()
-            cols = self.svc.get_column_headers()
+            m = self.model
+            n = m.row_count()
+            headers = m.column_headers()
+            self.table.setColumnCount(len(headers))
+            self.table.setHorizontalHeaderLabels(headers)
             self.table.setRowCount(n)
-            optic = self.connector.get_optic()
-            stop_row = next(
-                (
-                    i
-                    for i, s in enumerate(optic.surfaces.surfaces)
-                    if getattr(s, "is_stop", False)
-                ),
-                None,
+            self.table.setVerticalHeaderLabels(
+                [m.row_label(r) for r in range(n)]
             )
-            labels = []
             for row in range(n):
-                if row == 0:
-                    labels.append("OBJ")
-                elif row == n - 1:
-                    labels.append("IMG")
-                elif row == stop_row:
-                    labels.append(f"STO {row}")
-                else:
-                    labels.append(str(row))
-                for col in range(len(cols)):
-                    if cols[col] == "Type":
-                        self._set_type_combo(row)
+                for col in range(len(headers)):
+                    spec = m.cell_spec(row, col)
+                    val = m.get_cell(row, col)
+                    if spec.kind == "choice" and spec.editable:
+                        self._set_combo(row, col, spec, val)
                         continue
-                    val = self.svc.get_surface_data(row, col)
+                    if self.table.cellWidget(row, col) is not None:
+                        self.table.removeCellWidget(row, col)
                     text = "" if val is None else self._fmt(val)
                     item = QTableWidgetItem(text)
+                    if not spec.editable:
+                        item.setFlags(
+                            item.flags() & ~Qt.ItemFlag.ItemIsEditable
+                        )
                     self.table.setItem(row, col, item)
-            self.table.setVerticalHeaderLabels(labels)
         finally:
             self._building = False
 
-    def _set_type_combo(self, row):
+    def _set_combo(self, row, col, spec, current):
         combo = QComboBox(self.table)
-        types = self.svc.get_available_surface_types()
-        combo.addItems(types)
-        current = self.svc.get_surface_data(row, 0)
+        combo.addItems([str(c) for c in spec.choices])
         idx = combo.findText(str(current))
         if idx >= 0:
             combo.setCurrentIndex(idx)
         combo.currentTextChanged.connect(
-            lambda text, r=row: self._on_type_changed(r, text)
+            lambda text, r=row, c=col: self._on_combo_changed(r, c, text)
         )
-        self.table.setCellWidget(row, 0, combo)
+        self.table.setCellWidget(row, col, combo)
 
     @staticmethod
     def _fmt(val):
@@ -126,107 +140,89 @@ class LensEditor(QWidget):
         if self._building:
             return
         row, col = item.row(), item.column()
-        text = item.text().strip()
-        cols = self.svc.get_column_headers()
+        spec = self.model.cell_spec(row, col)
+        text = item.text()
         try:
-            if cols[col] in ("Radius", "Thickness", "Conic", "Semi-Diameter"):
-                value = float("inf") if text.lower() in (
-                    "inf", "infinity", ""
-                ) else float(text)
-            else:
-                value = text
-            self.svc.set_surface_data(row, col, value)
-        except (ValueError, IndexError):
-            self.rebuild()  # revert bad input
+            value = float(text) if spec.kind == "float" else text
+        except ValueError:
+            self.rebuild()  # revert invalid input
+            return
+        if not self.model.set_cell(row, col, value):
+            self.rebuild()
+            return
+        self.connector.surfaceDataChanged.emit(row, col)
 
-    def _on_type_changed(self, row, text):
+    def _on_combo_changed(self, row, col, text):
         if self._building:
             return
-        self.svc.set_surface_data(row, 0, text)
+        self.model.set_cell(row, col, text)
+        self.connector.surfaceDataChanged.emit(row, col)
+        self.rebuild()  # type changes alter the column set
+
+    # -------------- structure --------------
 
     def _current_row(self):
-        return self.table.currentRow()
+        r = self.table.currentRow()
+        return r if r >= 0 else self.model.row_count() - 1
 
     def _add_surface(self):
-        row = self._current_row()
-        self.svc.add_surface(row + 1 if row >= 0 else -1)
+        self.model.insert_row(max(1, self._current_row()))
+        self.rebuild()
+        self.connector.surfaceCountChanged.emit()
 
     def _remove_surface(self):
-        row = self._current_row()
-        if row > 0:
-            try:
-                self.svc.remove_surface(row)
-            except ValueError:
-                pass
+        try:
+            self.model.remove_row(self._current_row())
+        except ValueError:
+            return
+        self.rebuild()
+        self.connector.surfaceCountChanged.emit()
 
     def _make_stop(self):
         row = self._current_row()
-        if row > 0:
-            self.svc.set_stop_surface(row)
+        if 0 < row < self.model.row_count() - 1:
+            self.model.set_stop(row)
+            self.rebuild()
+
+    def _move(self, delta):
+        try:
+            self.model.move_row(self._current_row(), delta)
+        except ValueError:
+            return
+        self.rebuild()
+        self.connector.surfaceDataChanged.emit(self._current_row(), -1)
+
+    # -------------- clipboard --------------
+
+    def _selected_rows(self):
+        rows = sorted({i.row() for i in self.table.selectedIndexes()})
+        return rows or [self._current_row()]
+
+    def _copy(self):
+        tsv = self.model.copy_rows(self._selected_rows())
+        QApplication.clipboard().setText(tsv)
+
+    def _paste(self):
+        tsv = QApplication.clipboard().text()
+        if not tsv:
+            return
+        row = max(0, self.table.currentRow())
+        col = max(0, self.table.currentColumn())
+        if self.model.paste_block(row, col, tsv):
+            self.rebuild()
+            self.connector.surfaceDataChanged.emit(row, col)
+
+    # -------------- context menu --------------
 
     def _context_menu(self, pos):
         menu = QMenu(self)
-        menu.addAction("Insert surface after", self._add_surface)
+        menu.addAction("Copy rows", self._copy)
+        menu.addAction("Paste", self._paste)
+        menu.addSeparator()
+        menu.addAction("Insert surface", self._add_surface)
         menu.addAction("Remove surface", self._remove_surface)
         menu.addAction("Make stop", self._make_stop)
-        menu.addAction("Edit type parameters...", self._edit_type_params)
+        menu.addSeparator()
+        menu.addAction("Move up", lambda: self._move(-1))
+        menu.addAction("Move down", lambda: self._move(+1))
         menu.exec(self.table.viewport().mapToGlobal(pos))
-
-    def _edit_type_params(self):
-        """Per-surface-type extended parameter editor (reference:
-        lens_editor.py surface-type delegates). The form is generated from
-        SurfaceService.get_type_params and written back through
-        set_type_params (undoable)."""
-        row = self._current_row()
-        if row < 0:
-            return
-        params = self.svc.get_type_params(row)
-        if not params:
-            return
-        from optiland_tpu_gui.qt import (
-            QFormLayout,
-            QLineEdit,
-            QPushButton,
-            QVBoxLayout,
-            QWidget,
-        )
-
-        dlg = QWidget(self, Qt.WindowType.Window)
-        dlg.setWindowTitle(f"Surface {row} type parameters")
-        form = QFormLayout()
-        editors = {}
-        for key, val in params.items():
-            w = QLineEdit(dlg)
-            if isinstance(val, (list, tuple)):
-                w.setText(", ".join(f"{v:g}" for v in val))
-            else:
-                w.setText(str(val))
-            editors[key] = w
-            form.addRow(key, w)
-        apply_btn = QPushButton("Apply", dlg)
-
-        def _apply():
-            out = {}
-            try:
-                for key, w in editors.items():
-                    text = w.text().strip()
-                    if isinstance(params[key], (list, tuple)):
-                        out[key] = [
-                            float(p) for p in text.split(",") if p.strip()
-                        ]
-                    elif isinstance(params[key], str):
-                        out[key] = text
-                    elif isinstance(params[key], int):
-                        out[key] = int(float(text))
-                    else:
-                        out[key] = float(text)
-                self.svc.set_type_params(row, **out)
-                dlg.close()
-            except (ValueError, KeyError):
-                pass  # leave the dialog open on bad input
-
-        apply_btn.clicked.connect(_apply)
-        lay = QVBoxLayout(dlg)
-        lay.addLayout(form)
-        lay.addWidget(apply_btn)
-        dlg.show()

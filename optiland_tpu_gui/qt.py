@@ -12,7 +12,11 @@ from __future__ import annotations
 try:
     from PySide6 import QtCore, QtGui, QtWidgets  # noqa: F401
     from PySide6.QtCore import QObject, Qt, QTimer, Signal  # noqa: F401
-    from PySide6.QtGui import QAction, QKeySequence  # noqa: F401
+    from PySide6.QtGui import (  # noqa: F401
+        QAction,
+        QKeySequence,
+        QShortcut,
+    )
     from PySide6.QtWidgets import (  # noqa: F401
         QApplication,
         QCheckBox,

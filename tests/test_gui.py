@@ -103,3 +103,63 @@ def test_analysis_panel_runs_spot_diagram(qapp):
     result = win.analysis_panel.run_current("SpotDiagram")
     assert result is not None
     win.close()
+
+
+@qt_only
+def test_lens_editor_dynamic_columns_and_clipboard(qapp):
+    """Changing a surface type to even_asphere adds its coefficient
+    columns; copy then paste restores an edited radius (reference:
+    lens_editor.py per-type delegates + clipboard UX)."""
+    from optiland_tpu.samples import CookeTriplet
+    from optiland_tpu_gui.main_window import MainWindow
+    from optiland_tpu_gui.qt import QApplication
+
+    win = MainWindow(CookeTriplet())
+    ed = win.lens_editor
+    m = ed.model
+    tsv = m.copy_rows([1])
+    QApplication.clipboard().setText(tsv)
+    r0 = m.get_cell(1, 2)
+    m.set_cell(1, 2, 77.0)
+    ed.table.setCurrentCell(1, 0)
+    ed._paste()
+    assert m.get_cell(1, 2) == pytest.approx(r0)
+    m.set_cell(1, 0, "even_asphere")
+    ed.rebuild()
+    headers = [ed.table.horizontalHeaderItem(i).text()
+               for i in range(ed.table.columnCount())]
+    assert "A4" in headers
+    win.close()
+
+
+@qt_only
+def test_analysis_panel_export_and_rerun(qapp, tmp_path):
+    from optiland_tpu.samples import CookeTriplet
+    from optiland_tpu_gui.main_window import MainWindow
+
+    win = MainWindow(CookeTriplet())
+    panel = win.analysis_panel
+    panel.run_current("RayFan", num_points=9)
+    assert panel.tabs.count() == 1
+    png = tmp_path / "fan.png"
+    panel.model.export_png(0, str(png))
+    assert png.stat().st_size > 1000
+    win.connector.surfaces.set_surface_data(1, 2, 23.0)
+    panel.rerun_current_tab()
+    assert panel.tabs.count() == 1
+    win.close()
+
+
+@qt_only
+def test_system_properties_staged_apply(qapp):
+    from optiland_tpu.samples import CookeTriplet
+    from optiland_tpu_gui.main_window import MainWindow
+
+    win = MainWindow(CookeTriplet())
+    panel = win.properties_panel
+    panel.model.set_aperture("EPD", 12.0)
+    panel.apply()
+    assert win.connector.get_optic().aperture.value == pytest.approx(12.0)
+    win.connector.undo()
+    assert win.connector.get_optic().aperture.value == pytest.approx(10.0)
+    win.close()

@@ -210,7 +210,76 @@ def test_pol_c64_path_close_to_f64():
 
 
 def test_pol_unsupported_falls_back():
-    from optiland_tpu.coatings import PolarizerCoating
+    """ThinFilmCoating needs per-ray TMM amplitudes -> XLA fallback."""
+    from optiland_tpu.coatings import ThinFilmCoating
+    from optiland_tpu.thin_film import ThinFilmStack
+    from optiland_tpu.materials import IdealMaterial
 
-    o = pol_doublet(coat=PolarizerCoating())
+    stack = ThinFilmStack(IdealMaterial(1.0), IdealMaterial(1.52))
+    stack.add_layer(IdealMaterial(2.35), 100.0)
+    o = pol_doublet(coat=ThinFilmCoating(stack))
     assert not pallas_pol_supported(o.system)
+
+
+@pytest.mark.parametrize("kind", ["polarizer", "retarder"])
+def test_pol_kernel_axis_coatings_match_xla(kind):
+    """Polarizer/retarder coatings run in-kernel with full s/p 2x2 Jones
+    (reference: coatings.py:418-487, jones.py:120,331)."""
+    from optiland_tpu.coatings import PolarizerCoating, RetarderCoating
+
+    if kind == "polarizer":
+        c1 = PolarizerCoating(axis=(1, 0.3, 0))
+        c2 = PolarizerCoating(axis=(0.2, 1, 0))
+    else:
+        c1 = RetarderCoating(np.pi / 2, axis=(1, 0.3, 0))
+        c2 = RetarderCoating(np.pi / 3, axis=(0.2, 1, 0))
+    o = pol_doublet(coat=c1, coat2=c2)
+    system = o.system
+    assert pallas_pol_supported(system)
+    rays = _bundle(system)
+    ref, hist = xla_trace.trace(system, rays, record=False)
+    out, p = trace_fast_pol(system, rays, 0.55)
+    for name in ("x", "y", "z", "L", "M", "N", "i", "opd"):
+        assert_allclose(
+            getattr(out, name), getattr(ref, name), rtol=1e-9, atol=1e-11
+        )
+    assert_allclose(p, hist["p"], rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("kind", ["polarizer", "retarder"])
+def test_pol_axis_coating_intensity_and_grad(kind):
+    """Exit intensity + radius gradient parity through the in-kernel VJP
+    for the axis-based coatings."""
+    from optiland_tpu.coatings import PolarizerCoating, RetarderCoating
+    from optiland_tpu.ops.pallas_pol import trace_fast_pol_intensity
+
+    c = (PolarizerCoating(axis=(1, 0.4, 0)) if kind == "polarizer"
+         else RetarderCoating(np.pi / 2, axis=(1, 0.4, 0)))
+    o = pol_doublet(coat=c)
+    system = o.system
+    state = create_polarization("H")
+    rays = _bundle(system, n=200)
+
+    def merit_pallas(stack):
+        s2 = system.replace(stack=stack)
+        out = trace_fast_pol_intensity(s2, rays, 0.55, state=state)
+        return jnp.sum(out.i * out.x**2)
+
+    def merit_xla(stack):
+        # the Optic-level polarized contract computes the exit intensity
+        # from the LAUNCH intensity (optic/optic.py _trace_jit), matching
+        # the kernel's in-tile _exit_intensity_tile
+        s2 = system.replace(stack=stack)
+        ref, hist = xla_trace.trace(s2, rays, record=False)
+        i_pol = polarized_intensity(
+            hist["p"], state, rays.L, rays.M, rays.N, rays.i
+        )
+        return jnp.sum(i_pol * ref.x**2)
+
+    v1, g1 = jax.value_and_grad(merit_pallas)(system.stack)
+    v2, g2 = jax.value_and_grad(merit_xla)(system.stack)
+    assert_allclose(v1, v2, rtol=1e-9, atol=1e-12)
+    assert_allclose(
+        np.asarray(g1.radius)[1:-1], np.asarray(g2.radius)[1:-1],
+        rtol=1e-6, atol=1e-10,
+    )

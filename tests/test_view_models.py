@@ -1,0 +1,220 @@
+"""Headless panel view-model tests (no Qt): lens-editor spreadsheet model,
+tabbed analysis panel, paged system properties.
+
+(reference feature sets: optiland_gui/lens_editor.py,
+analysis_panel.py:1-1664, system_properties_panel.py)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from optiland_tpu.services import OptilandConnector
+from optiland_tpu.services.view_models import (
+    AnalysisPanelModel,
+    LensEditorModel,
+    SystemPropertiesModel,
+)
+
+
+@pytest.fixture()
+def conn():
+    from optiland_tpu.samples import CookeTriplet
+
+    return OptilandConnector(CookeTriplet())
+
+
+@pytest.fixture()
+def lde(conn):
+    return LensEditorModel(conn)
+
+
+class TestLensEditorModel:
+    def test_shape_and_labels(self, lde):
+        n = lde.row_count()
+        assert n == 8  # OBJ + 6 + IMG
+        assert lde.row_label(0) == "OBJ"
+        assert lde.row_label(n - 1) == "IMG"
+        stop = lde.stop_row()
+        assert lde.row_label(stop).startswith("STO")
+        assert lde.column_headers()[:7] == [
+            "Type", "Comment", "Radius", "Thickness", "Material",
+            "Conic", "Semi-Diameter",
+        ]
+
+    def test_cell_specs(self, lde):
+        assert lde.cell_spec(1, 0).kind == "choice"
+        assert "even_asphere" in lde.cell_spec(1, 0).choices
+        assert lde.cell_spec(1, 2).kind == "float"
+        assert lde.cell_spec(1, 4).kind == "choice"
+        assert not lde.cell_spec(0, 0).editable  # object surface type
+        assert not lde.cell_spec(lde.row_count() - 1, 0).editable
+
+    def test_edit_radius_traces(self, lde, conn):
+        r0 = lde.get_cell(1, 2)
+        assert lde.set_cell(1, 2, r0 * 1.01)
+        assert lde.get_cell(1, 2) == pytest.approx(r0 * 1.01)
+        # the edited system still traces
+        res = conn.get_optic().trace(Hy=0.0, wavelength=0.55, num_rays=4)
+        assert np.isfinite(np.asarray(res.y)).all()
+        # and undo restores it
+        conn.undo()
+        lde2 = LensEditorModel(conn)
+        assert lde2.get_cell(1, 2) == pytest.approx(r0)
+
+    def test_dynamic_columns_for_asphere(self, lde, conn):
+        assert lde.extra_columns() == []
+        lde.set_cell(1, 0, "even_asphere")
+        assert "A4" in lde.column_headers()
+        col = lde.column_headers().index("A6")
+        assert lde.cell_spec(1, col).editable
+        assert not lde.cell_spec(2, col).editable  # standard row: readonly
+        assert lde.set_cell(1, col, -2.5e-7)
+        assert lde.get_cell(1, col) == pytest.approx(-2.5e-7)
+        # the coefficient landed in the optic itself
+        coeffs = conn.surfaces.get_type_params(1)["coefficients"]
+        assert coeffs[1] == pytest.approx(-2.5e-7)
+
+    def test_move_row_swaps_surfaces(self, lde, conn):
+        r1 = lde.get_cell(1, 2)
+        r2 = lde.get_cell(2, 2)
+        lde.move_row(1, +1)
+        assert lde.get_cell(1, 2) == pytest.approx(r2)
+        assert lde.get_cell(2, 2) == pytest.approx(r1)
+        with pytest.raises(ValueError):
+            lde.move_row(0, +1)
+        with pytest.raises(ValueError):
+            lde.move_row(lde.row_count() - 2, +1)
+
+    def test_copy_paste_roundtrip(self, lde):
+        tsv = lde.copy_rows([1, 2])
+        lines = tsv.splitlines()
+        assert lines[0].startswith("Type\tComment\tRadius")
+        assert len(lines) == 3
+        # perturb then paste back restores the numbers
+        r1 = lde.get_cell(1, 2)
+        lde.set_cell(1, 2, 99.0)
+        written = lde.paste_block(1, 0, tsv)
+        assert written > 0
+        assert lde.get_cell(1, 2) == pytest.approx(r1)
+
+    def test_paste_skips_readonly_and_junk(self, lde):
+        # a paste with junk text and a readonly target must not raise
+        n0 = lde.row_count()
+        wrote = lde.paste_block(0, 0, "plane\tnot-a-number\tabc")
+        assert lde.row_count() == n0
+        assert wrote == 0 or lde.get_cell(0, 1) is not None
+
+    def test_insert_remove(self, lde):
+        n0 = lde.row_count()
+        lde.insert_row(2)
+        assert lde.row_count() == n0 + 1
+        lde.remove_row(2)
+        assert lde.row_count() == n0
+        with pytest.raises(ValueError):
+            lde.remove_row(0)
+
+
+class TestAnalysisPanelModel:
+    def test_run_creates_tab(self, conn):
+        panel = AnalysisPanelModel(conn)
+        assert "SpotDiagram" in panel.available()
+        tab = panel.run("SpotDiagram", num_rings=3)
+        assert panel.tabs and panel.active == 0
+        assert "SpotDiagram" in tab.title
+        assert tab.record.error is None
+
+    def test_settings_schema(self, conn):
+        panel = AnalysisPanelModel(conn)
+        fields = panel.settings_schema("RayFan")
+        names = {f.name for f in fields}
+        assert "num_points" in names
+
+    def test_rerun_reflects_current_system(self, conn):
+        panel = AnalysisPanelModel(conn)
+        panel.run("RayFan", num_points=9)
+        y0 = np.asarray(
+            panel.tabs[0].record.result.data["(0.0, 0.0)"]["0.48"]["y"]
+        )
+        conn.surfaces.set_surface_data(1, 2, 23.0)  # change a radius
+        panel.rerun(0)
+        y1 = np.asarray(
+            panel.tabs[0].record.result.data["(0.0, 0.0)"]["0.48"]["y"]
+        )
+        assert not np.allclose(y0, y1)
+
+    def test_close_tab(self, conn):
+        panel = AnalysisPanelModel(conn)
+        panel.run("RayFan", num_points=9)
+        panel.run("SpotDiagram", num_rings=3)
+        assert len(panel.tabs) == 2 and panel.active == 1
+        panel.close_tab(1)
+        assert len(panel.tabs) == 1 and panel.active == 0
+        panel.close_tab(0)
+        assert panel.tabs == [] and panel.active is None
+
+    def test_export_png_and_csv(self, conn, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        panel = AnalysisPanelModel(conn)
+        panel.run("RayFan", num_points=9)
+        png = panel.export_png(0, str(tmp_path / "fan.png"))
+        assert (tmp_path / "fan.png").stat().st_size > 1000
+        csv = panel.export_csv(0, str(tmp_path / "fan.csv"))
+        text = (tmp_path / "fan.csv").read_text()
+        assert "Px" in text.splitlines()[0]
+        assert len(text.splitlines()) > 5
+        assert png.endswith(".png") and csv.endswith(".csv")
+
+
+class TestSystemPropertiesModel:
+    def test_load_pages(self, conn):
+        m = SystemPropertiesModel(conn)
+        assert m.staged["aperture"]["type"] == "EPD"
+        assert m.staged["aperture"]["value"] == pytest.approx(10.0)
+        assert m.staged["fields"]["type"] == "angle"
+        assert len(m.staged["fields"]["points"]) == 3
+        assert len(m.staged["wavelengths"]) == 3
+        assert m.staged["polarization"] == "ignore"
+
+    def test_apply_aperture_and_wavelengths(self, conn):
+        m = SystemPropertiesModel(conn)
+        m.set_aperture("EPD", 12.5)
+        m.add_wavelength(0.65)
+        m.set_primary_wavelength(3)
+        m.apply()
+        o = conn.get_optic()
+        assert o.aperture.value == pytest.approx(12.5)
+        assert len(o.wavelengths.wavelengths) == 4
+        assert o.primary_wavelength == pytest.approx(0.65)
+        # single undo step reverts the whole page apply
+        conn.undo()
+        o = conn.get_optic()
+        assert o.aperture.value == pytest.approx(10.0)
+        assert len(o.wavelengths.wavelengths) == 3
+
+    def test_field_edits(self, conn):
+        m = SystemPropertiesModel(conn)
+        m.add_field(y=25.0)
+        m.remove_field(0)
+        m.apply()
+        o = conn.get_optic()
+        ys = [f.y for f in o.fields.fields]
+        assert 25.0 in ys and 0.0 not in ys
+
+    def test_dirty_and_revert(self, conn):
+        m = SystemPropertiesModel(conn)
+        assert not m.dirty()
+        m.set_aperture("EPD", 11.0)
+        assert m.dirty()
+        m.revert()
+        assert not m.dirty()
+
+    def test_notes_roundtrip(self, conn):
+        m = SystemPropertiesModel(conn)
+        m.set_notes("test prescription")
+        m.apply()
+        m2 = SystemPropertiesModel(conn)
+        assert m2.staged["notes"] == "test prescription"

@@ -105,3 +105,59 @@ def test_info_viewer_prints(cooke, capsys):
     LensInfoViewer(cooke).view()
     out = capsys.readouterr().out
     assert "Radius" in out and "SK16" in out
+
+
+# ---------------- interactive WebGL export ----------------
+
+
+def test_webgl_export_scene_structure(cooke, tmp_path):
+    """OpticViewer3DHTML emits a standalone page whose embedded scene has
+    valid meshes (triangulated, Uint16-indexable), ray polylines, and
+    per-surface pick info (reference capability:
+    visualization/system/optic_viewer_3d.py:22 + interaction.py:18)."""
+    import json
+    import math
+    import re
+
+    from optiland_tpu.visualization import OpticViewer3DHTML
+
+    path = tmp_path / "cooke3d.html"
+    html = OpticViewer3DHTML(cooke).to_html(str(path), num_rays=6)
+    assert path.exists()
+    assert "__SCENE_JSON__" not in html
+    assert "<canvas" in html and "webgl" in html
+    m = re.search(r"const SCENE = (\{.*?\});\n", html, re.S)
+    scene = json.loads(m.group(1))
+    assert len(scene["meshes"]) >= 7  # 3 lenses x 2 faces + image plane
+    kinds = {mm["kind"] for mm in scene["meshes"]}
+    assert "lens" in kinds and "image" in kinds and "wall" in kinds
+    for mesh in scene["meshes"]:
+        nv = len(mesh["v"]) // 3
+        assert 0 < nv < 65536  # gl.UNSIGNED_SHORT indices
+        assert len(mesh["n"]) == len(mesh["v"])
+        assert len(mesh["i"]) % 3 == 0
+        assert 0 <= min(mesh["i"]) and max(mesh["i"]) < nv
+    info = scene["meshes"][0]["info"]
+    assert {"index", "type", "radius", "material"} <= set(info)
+    assert scene["rays"], "no traced ray polylines"
+    for r in scene["rays"]:
+        assert all(math.isfinite(p) for p in r["pts"])
+    # orbit/zoom/pan/pick handlers present in the embedded renderer
+    for token in ("mousedown", "wheel", "readPixels", "contextmenu"):
+        assert token in html
+
+
+def test_webgl_export_mirror_system():
+    """Reflective surfaces export as opaque 'mirror' meshes."""
+    import json
+    import re
+
+    from optiland_tpu.samples import HubbleTelescope
+    from optiland_tpu.visualization import OpticViewer3DHTML
+
+    html = OpticViewer3DHTML(HubbleTelescope()).to_html(num_rays=6)
+    scene = json.loads(
+        re.search(r"const SCENE = (\{.*?\});\n", html, re.S).group(1)
+    )
+    assert any(m["kind"] == "mirror" for m in scene["meshes"])
+    assert any(m["info"]["reflective"] for m in scene["meshes"])
