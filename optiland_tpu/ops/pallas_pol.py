@@ -62,7 +62,7 @@ from optiland_tpu.ops.pallas_trace import (
 # exceeded the 16 MB scoped-VMEM budget by ~0.8 MB on a real v5e (measured
 # r4: "Scoped allocation with size 16.75M and limit 16.00M"); 128 fits.
 TILE_ROWS_POL_FWD = 128
-TILE_ROWS_POL_BWD = 16
+TILE_ROWS_POL_BWD = 32  # 64 rows OOMs scoped VMEM (r4 sweep); 16 -> 32 gave +9%
 
 N_COAT = 4  # per-surface coating scalars:
 #   fresnel   (n1, n2, 0, 0)    simple (T, R, 0, 0)

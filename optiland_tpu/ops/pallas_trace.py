@@ -25,10 +25,12 @@ rotations in-kernel. Monochromatic bundles use a precomputed per-surface
 index table; polychromatic bundles (trace_fast_poly) carry the wavelength
 as a ray array and evaluate each glass's dispersion formula in-kernel.
 
-Unsupported (falls back to the XLA path): grid-sag / NURBS geometries
-(gather-based sag), interaction models (thin lens/phase/grating), physical
-aperture objects, coatings/BSDFs/polarization, and absorption in the
-polychromatic mode.
+Grating diffraction runs in-kernel (the m*wavelength product rides the
+P_MLAM param column, so order/wavelength stay data). Unsupported (falls
+back to the XLA path): grid-sag / NURBS geometries (gather-based sag),
+thin-lens/phase interaction models, physical aperture objects,
+coatings/BSDFs/polarization, gratings in the polychromatic mode, and
+absorption in the polychromatic mode.
 
 (reference for semantics: optiland/surfaces/standard_surface.py:200-248,
 geometries/newton_raphson.py:119-168, rays/real_rays.py:163-205)
@@ -87,8 +89,9 @@ LANE = 128
 (
     P_RADIUS, P_CONIC, P_POS, P_NPOST, P_APMAX, P_KPRE,
     P_DX, P_DY, P_RX, P_RY, P_RZ, P_G1, P_G2, P_APMIN,
-) = range(14)
-NUM_P = 14
+    P_MLAM,  # m * wavelength for grating surfaces (0 elsewhere)
+) = range(15)
+NUM_P = 15
 
 # Geometry families the kernels cover (all closed-form or Newton-from-sag;
 # grid/NURBS need gathers that do not lower well on TPU).
@@ -122,7 +125,8 @@ def _rot_global(x, y, z, L, M, N, rx, ry, rz):
 
 def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
                newton_iters, formula=None, getm=None, nm=0,
-               has_absorption=True, inner=False, want_extras=False):
+               has_absorption=True, inner=False, want_extras=False,
+               grating=False):
     """One surface step on a ray tile (pure jnp; runs inside the kernels).
 
     ``getp(s, col)`` / ``getc(s, ci)`` return scalar surface parameters —
@@ -207,12 +211,62 @@ def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
     )
 
     # ---- interact ----
+    nx0, ny0, nz0 = nx, ny, nz  # raw normal (groove-frame cross products)
     dot = L * nx + M * ny + N * nz
     sgn = jnp.sign(dot)
     nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
     adot = jnp.abs(dot)
     L0p, M0p, N0p = L, M, N  # local-frame pre-interaction directions
-    if reflective:
+    if grating:
+        # Vector grating diffraction, same math as the XLA step
+        # (core/trace.py grating branch; reference:
+        # rays/real_rays.py:207-430, interactions/diffractive_model.py).
+        # Monochromatic: the m*wavelength product rides the P_MLAM param
+        # column, so order and wavelength stay data, not compile consts.
+        d = getp(s, P_G1)
+        alpha = getp(s, P_G2)
+        mlam = getp(s, P_MLAM)
+        if code == geom.PLANE:
+            fx = -jnp.sin(alpha) * jnp.ones_like(x)
+            fy = jnp.cos(alpha) * jnp.ones_like(x)
+            fz = jnp.zeros_like(x)
+        else:
+            r2g = x * x + y * y
+            denomg = radius * jnp.sqrt(
+                jnp.maximum(1 - (1 + conic) * r2g / radius**2, 1e-14)
+            )
+            ta = jnp.tan(alpha)
+            dzd = (x + y * ta) / denomg
+            tmag = jnp.sqrt(1 + ta * ta + dzd * dzd)
+            tx, ty, tz = 1.0 / tmag, ta / tmag, dzd / tmag
+            gx = ny0 * tz - nz0 * ty
+            gy = -nx0 * tz + nz0 * tx
+            gz = nx0 * ty - ny0 * tx
+            gmag = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+            fx, fy, fz = -gx / gmag, -gy / gmag, -gz / gmag
+        d_eff = d / jnp.sqrt(fx * fx + fy * fy)
+        n_post = n_pre if reflective else getp(s, P_NPOST)
+        fn = fx * nx + fy * ny + fz * nz
+        kn = adot
+        Ptx = d_eff * n_pre * (L - kn * nx) + mlam * (fx - fn * nx)
+        Pty = d_eff * n_pre * (M - kn * ny) + mlam * (fy - fn * ny)
+        Ptz = d_eff * n_pre * (N - kn * nz) + mlam * (fz - fn * nz)
+        rad = (d_eff * n_post) ** 2 - (Ptx**2 + Pty**2 + Ptz**2)
+        pos_rad = rad >= 0
+        inten = jnp.where(pos_rad, inten, 0.0)
+        root = jnp.where(
+            pos_rad, jnp.sqrt(jnp.where(pos_rad, rad, 1.0)), 0.0
+        )
+        if reflective:
+            L = (-Ptx + nx * root) / (d_eff * n_post)
+            M = (-Pty + ny * root) / (d_eff * n_post)
+            N = (-Ptz + nz * root) / (d_eff * n_post)
+        else:
+            L = (Ptx + nx * root) / (d_eff * n_post)
+            M = (Pty + ny * root) / (d_eff * n_post)
+            N = (Ptz + nz * root) / (d_eff * n_post)
+        n_next = n_post
+    elif reflective:
         L = L - 2 * adot * nx
         M = M - 2 * adot * ny
         N = N - 2 * adot * nz
@@ -257,6 +311,7 @@ def _chain(spec, getp, getc, getm, x, y, z, L, M, N, i, opd, w=None):
     if isinstance(has_abs, bool):
         has_abs = (has_abs,) * len(codes)
     inner = spec[9] if len(spec) > 9 else (False,) * len(codes)
+    grat = spec[10] if len(spec) > 10 else (False,) * len(codes)
     S = len(codes)
     if w is None:
         n0 = getp(0, P_NPOST)
@@ -272,6 +327,7 @@ def _chain(spec, getp, getc, getm, x, y, z, L, M, N, i, opd, w=None):
             state, newton_iters,
             formula=formulas[s] if w is not None else None,
             getm=getm, nm=nm, has_absorption=has_abs[s], inner=inner[s],
+            grating=grat[s],
         )
     return state[:8]
 
@@ -289,9 +345,13 @@ def _spec_of(system, newton_iters, poly):
         a is not None and float(getattr(a, "r_min", 0.0)) > 0.0
         for a in (cfg.apertures or (None,) * cfg.num_surfaces)
     )
+    grat = tuple(
+        i is not None and isinstance(i, tuple) and i[0] == "grating"
+        for i in (cfg.interactions or (None,) * cfg.num_surfaces)
+    )
     return (
         tuple(cfg.geom_codes), tuple(cfg.reflective), tilted, auxes, nc,
-        newton_iters, formulas, nm, _absorption_mask(system), inner,
+        newton_iters, formulas, nm, _absorption_mask(system), inner, grat,
     )
 
 
@@ -1156,8 +1216,16 @@ def pallas_supported(system, poly: bool = False) -> bool:
     from optiland_tpu.physical_apertures import RadialAperture
 
     cfg = system.cfg
-    if cfg.interactions is not None and any(
-        i is not None for i in cfg.interactions
+
+    def _inter_ok(i):
+        # grating interactions run in-kernel (mono only: the m*wavelength
+        # product is baked into the P_MLAM param column)
+        return i is None or (
+            not poly and isinstance(i, tuple) and i[0] == "grating"
+        )
+
+    if cfg.interactions is not None and not all(
+        _inter_ok(i) for i in cfg.interactions
     ):
         return False
     if cfg.apertures is not None and any(
@@ -1214,11 +1282,17 @@ def build_param_table(system, wavelength):
         )
     k_pre = jnp.stack(k_rows)
     ap_max, ap_min = _aperture_columns(system)
+    mlam = jnp.asarray([
+        float(i[1]) * float(wavelength)
+        if (i is not None and isinstance(i, tuple) and i[0] == "grating")
+        else 0.0
+        for i in (cfg.interactions or (None,) * S)
+    ], stack.radius.dtype)
     params = jnp.stack(
         [
             stack.radius, stack.conic, pos + stack.dz, n, ap_max,
             k_pre, stack.dx, stack.dy, stack.rx, stack.ry, stack.rz,
-            stack.geo_p1, stack.geo_p2, ap_min,
+            stack.geo_p1, stack.geo_p2, ap_min, mlam,
         ],
         axis=1,
     )
@@ -1241,7 +1315,7 @@ def _poly_param_table(system):
         [
             stack.radius, stack.conic, pos + stack.dz, zero, ap_max,
             zero, stack.dx, stack.dy, stack.rx, stack.ry, stack.rz,
-            stack.geo_p1, stack.geo_p2, ap_min,
+            stack.geo_p1, stack.geo_p2, ap_min, zero,
         ],
         axis=1,
     )

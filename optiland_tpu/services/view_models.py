@@ -424,11 +424,30 @@ class SystemPropertiesModel:
                  "weight": w.weight}
                 for w in o.wavelengths.wavelengths
             ],
-            "polarization": getattr(o, "polarization", "ignore"),
+            "polarization": self._pol_name(
+                getattr(o, "polarization", "ignore")
+            ),
             "environment": self._env_state(o),
             "notes": getattr(o, "comment", "") or "",
         }
         return self.staged
+
+    @staticmethod
+    def _pol_name(pol):
+        """Display string for a polarization setting: 'ignore', a named
+        state ('H', 'RCP', ...), or the state's repr for custom ones."""
+        if isinstance(pol, str):
+            return pol
+        from optiland_tpu.polarization import create_polarization
+
+        for name in ("H", "V", "L+45", "L-45", "RCP", "LCP"):
+            ref = create_polarization(name)
+            if all(
+                getattr(pol, a, None) == getattr(ref, a, None)
+                for a in ("Ex", "Ey", "phase_x", "phase_y")
+            ):
+                return name
+        return repr(pol)
 
     @staticmethod
     def _env_state(o):

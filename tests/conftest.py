@@ -40,6 +40,19 @@ if _CACHE != "0":
     worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
     cache_dir = os.path.join(_CACHE, worker)
     os.makedirs(cache_dir, exist_ok=True)
+    # Single-writer guarantee ACROSS pytest processes too: a concurrent
+    # second `pytest` run reuses the same worker ids, and two writers in
+    # one directory can corrupt entries (observed as one-off numeric
+    # failures in otherwise-green tests). Hold a flock for the session;
+    # if another live run owns it, fall back to a private cold directory.
+    import fcntl
+    import tempfile
+
+    _lockf = open(os.path.join(cache_dir, ".writer_lock"), "w")
+    try:
+        fcntl.flock(_lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        cache_dir = tempfile.mkdtemp(prefix=f"optiland_xla_{worker}_")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

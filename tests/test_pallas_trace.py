@@ -374,10 +374,13 @@ class TestSpotRmsFastField:
         assert np.mean(y) ** 2 > 1e4 * ref  # the test is actually hard
 
     def test_gradient_matches_finite_difference(self):
+        # one FD probe: each merit eval recompiles nothing, but the
+        # interpret-mode fwd/bwd kernel compiles dominate; the full-stack
+        # parity vs the XLA path (next test) covers every other leaf
         from optiland_tpu.ops.pallas_trace import spot_rms_fast_field
 
         sys_ = CookeTriplet().system
-        Px, Py = self._pupils(512)
+        Px, Py = self._pupils(256)
 
         def f(stack):
             return spot_rms_fast_field(
@@ -388,12 +391,12 @@ class TestSpotRmsFastField:
         gr = np.asarray(g.radius)
         st = sys_.stack
         eps = 1e-4
-        for si in (1, 3, 5):
-            r0 = float(st.radius[si])
-            fp = float(f(st.replace(radius=st.radius.at[si].set(r0 + eps))))
-            fm = float(f(st.replace(radius=st.radius.at[si].set(r0 - eps))))
-            fd = (fp - fm) / (2 * eps)
-            assert abs(fd - gr[si]) < 2e-3 * max(1e-9, abs(fd)), (si, fd, gr[si])
+        si = 1
+        r0 = float(st.radius[si])
+        fp = float(f(st.replace(radius=st.radius.at[si].set(r0 + eps))))
+        fm = float(f(st.replace(radius=st.radius.at[si].set(r0 - eps))))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - gr[si]) < 2e-3 * max(1e-9, abs(fd)), (si, fd, gr[si])
 
     def test_gradient_matches_xla_merit(self):
         """Full-stack gradient parity vs the XLA trace path on the same
@@ -433,3 +436,77 @@ class TestSpotRmsFastField:
         sys_ = CookeTriplet().system
         with pytest.raises(NotImplementedError, match="PRNG"):
             spot_rms_fast_field(sys_, 0.0, 0.7, 0.55, num_rays=1024)
+
+
+def _grating_system():
+    from optiland_tpu.optic import Optic
+
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    o.surfaces.add(index=1, radius=30.0, thickness=5.0, material="N-BK7",
+                   is_stop=True)
+    o.surfaces.add(index=2, radius=-30.0, thickness=5.0)
+    o.surfaces.add(index=3, surface_type="grating", thickness=20.0,
+                   grating_order=1, grating_period=10.0,
+                   groove_orientation_angle=0.3)
+    o.surfaces.add(index=4)
+    o.set_aperture("EPD", 10.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.wavelengths.add(0.55, is_primary=True)
+    return o.system
+
+
+def test_grating_kernel_matches_xla():
+    """Grating diffraction runs in-kernel (m*wavelength rides the P_MLAM
+    param column); forward parity vs the XLA grating branch
+    (core/trace.py; reference: rays/real_rays.py:207-430)."""
+    system = _grating_system()
+    assert pallas_supported(system)
+    rng = np.random.default_rng(0)
+    n = 200
+    r = np.sqrt(rng.uniform(size=n)) * 0.9
+    th = rng.uniform(0, 2 * np.pi, n)
+    Px = jnp.asarray(r * np.cos(th))
+    Py = jnp.asarray(r * np.sin(th))
+    H = jnp.zeros(n)
+    rays = raygen.generate_rays(system, H, H, Px, Py, 0.55)
+    ref, _ = xla_trace.trace(system, rays, record=False)
+    out = trace_fast(system, rays, 0.55)
+    for name in ("x", "y", "z", "L", "M", "N", "i", "opd"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        ok = np.isfinite(b)
+        np.testing.assert_allclose(a[ok], b[ok], rtol=1e-12, atol=1e-12)
+
+
+def test_grating_kernel_period_gradient_matches_xla():
+    """d(merit)/d(grating period) through the in-kernel VJP equals the
+    XLA-path gradient (the period lives in geo_p1 -> P_G1)."""
+    system = _grating_system()
+    rng = np.random.default_rng(1)
+    n = 100
+    Px = jnp.asarray(rng.uniform(-0.9, 0.9, n))
+    Py = jnp.asarray(rng.uniform(-0.9, 0.9, n))
+    H = jnp.zeros(n)
+    rays = raygen.generate_rays(system, H, H, Px, Py, 0.55)
+
+    def f_fast(stack):
+        o2 = trace_fast(system.replace(stack=stack), rays, 0.55)
+        return jnp.sum(jnp.where(o2.i > 0, o2.y**2, 0.0))
+
+    def f_xla(stack):
+        o2, _ = xla_trace.trace(
+            system.replace(stack=stack), rays, record=False
+        )
+        return jnp.sum(jnp.where(o2.i > 0, o2.y**2, 0.0))
+
+    g1 = jax.grad(f_fast)(system.stack)
+    g2 = jax.grad(f_xla)(system.stack)
+    assert abs(float(g1.geo_p1[3])) > 0
+    np.testing.assert_allclose(
+        np.asarray(g1.geo_p1)[3], np.asarray(g2.geo_p1)[3], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1.radius)[1:3], np.asarray(g2.radius)[1:3], rtol=1e-9
+    )

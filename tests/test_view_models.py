@@ -218,3 +218,104 @@ class TestSystemPropertiesModel:
         m.apply()
         m2 = SystemPropertiesModel(conn)
         assert m2.staged["notes"] == "test prescription"
+
+
+class TestLensEditorEdgeCases:
+    def test_remove_object_and_image_protected(self, lde):
+        with pytest.raises(ValueError):
+            lde.remove_row(0)
+        with pytest.raises(ValueError):
+            lde.remove_row(lde.row_count() - 1)
+
+    def test_set_cell_readonly_returns_false(self, lde):
+        assert not lde.set_cell(0, 0, "even_asphere")  # OBJ type frozen
+        col = len(lde.column_headers()) - 1 if lde.extra_columns() else 5
+        # conic on image surface is still a float cell; type is frozen
+        assert not lde.set_cell(lde.row_count() - 1, 0, "standard")
+
+    def test_stop_reassignment_updates_labels(self, lde):
+        old = lde.stop_row()
+        new = old + 1 if old + 1 < lde.row_count() - 1 else old - 1
+        lde.set_stop(new)
+        assert lde.stop_row() == new
+        assert lde.row_label(new).startswith("STO")
+        assert not lde.row_label(old).startswith("STO")
+
+    def test_paste_with_header_row_tolerated(self, lde):
+        tsv = lde.copy_rows([2])
+        r2 = lde.get_cell(2, 2)
+        lde.set_cell(2, 2, 55.5)
+        assert lde.paste_block(2, 0, tsv) > 0
+        assert lde.get_cell(2, 2) == pytest.approx(r2)
+
+    def test_copy_includes_extra_columns(self, lde):
+        lde.set_cell(1, 0, "even_asphere")
+        col = lde.column_headers().index("A4")
+        lde.set_cell(1, col, 3.25e-6)
+        tsv = lde.copy_rows([1])
+        assert "3.25e-06" in tsv
+
+    def test_biconic_and_grating_extras(self, conn):
+        from optiland_tpu.services.view_models import LensEditorModel
+
+        m = LensEditorModel(conn)
+        m.set_cell(2, 0, "biconic")
+        ry_col = m.column_headers().index("Ry")
+        assert m.set_cell(2, ry_col, -77.0)
+        assert m.get_cell(2, ry_col) == pytest.approx(-77.0)
+        m.set_cell(3, 0, "grating")
+        per_col = m.column_headers().index("Period")
+        assert m.set_cell(3, per_col, 8.0)
+        assert m.get_cell(3, per_col) == pytest.approx(8.0)
+
+
+class TestAnalysisPanelEdgeCases:
+    def test_failed_run_records_error(self, conn):
+        panel = AnalysisPanelModel(conn)
+        tab = panel.run("RayFan", num_points=9, bogus_kwarg=1)
+        assert tab.record.error is not None
+
+    def test_export_csv_without_data_raises(self, conn, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        panel = AnalysisPanelModel(conn)
+        panel.run("YYbar")
+        rec = panel.tabs[0].record
+        if getattr(rec.result, "data", None) is not None:
+            pytest.skip("YYbar grew a data attribute")
+        with pytest.raises(ValueError, match="no exportable data"):
+            panel.export_csv(0, str(tmp_path / "x.csv"))
+
+    def test_history_bounded(self, conn):
+        panel = AnalysisPanelModel(conn, limit=3)
+        for _ in range(5):
+            panel.run("RayFan", num_points=9)
+        assert len(panel.session.history) <= 3
+
+
+class TestSystemPropertiesEdgeCases:
+    def test_apply_without_primary_promotes_first(self, conn):
+        m = SystemPropertiesModel(conn)
+        for i in range(len(m.staged["wavelengths"])):
+            m.staged["wavelengths"][i]["primary"] = False
+        m.apply()
+        o = conn.get_optic()
+        assert o.wavelengths.wavelengths[0].is_primary
+
+    def test_polarization_roundtrip(self, conn):
+        m = SystemPropertiesModel(conn)
+        m.set_polarization("H")
+        m.apply()
+        m2 = SystemPropertiesModel(conn)
+        assert m2.staged["polarization"] == "H"
+        m2.set_polarization("ignore")
+        m2.apply()
+        assert SystemPropertiesModel(conn).staged["polarization"] == "ignore"
+
+    def test_field_vignetting_staged(self, conn):
+        m = SystemPropertiesModel(conn)
+        m.staged["fields"]["points"][1]["vy"] = 0.3
+        m.apply()
+        o = conn.get_optic()
+        assert o.fields.fields[1].vy == pytest.approx(0.3)
