@@ -16,6 +16,20 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("OPTILAND_TPU_X64", "1")
 
+# LLVM recursion while compiling the largest interpret-mode Pallas kernel
+# bodies (a full surface-chain VJP inlined into one function) can exceed
+# the default 8 MB stack and SIGSEGV the worker mid-compile — observed as
+# roaming one-off "failures" where xdist reports the running test failed
+# with "node down: Not properly terminated". The hard limit is unlimited
+# here; lift the soft limit for every test process.
+import resource
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+try:
+    resource.setrlimit(resource.RLIMIT_STACK, (resource.RLIM_INFINITY, _hard))
+except (ValueError, OSError):  # hard limit finite: raise to it instead
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+
 import jax  # noqa: E402
 
 # A pytest plugin may have imported jax before this conftest ran, in which
@@ -38,24 +52,37 @@ if _CACHE != "0":
     # eviction bookkeeping races under concurrency and silently drops
     # entries with "Error writing persistent compilation cache entry").
     worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
-    cache_dir = os.path.join(_CACHE, worker)
-    os.makedirs(cache_dir, exist_ok=True)
-    # Single-writer guarantee ACROSS pytest processes too: a concurrent
-    # second `pytest` run reuses the same worker ids, and two writers in
-    # one directory can corrupt entries (observed as one-off numeric
-    # failures in otherwise-green tests). Hold a flock for the session;
-    # if another live run owns it, fall back to a private cold directory.
-    import fcntl
-    import tempfile
+    # This module is imported TWICE per process (pytest loads it as
+    # `conftest`, test modules import `tests.conftest` for the helpers),
+    # so the cache setup must be idempotent: without the per-pid guard the
+    # second import's flock below conflicts with the first's (flock is
+    # per-open-file-description, even within one process) and silently
+    # switched every worker to a cold throwaway cache.
+    if os.environ.get("_OPTILAND_TPU_CACHE_PID") != str(os.getpid()):
+        cache_dir = os.path.join(_CACHE, worker)
+        os.makedirs(cache_dir, exist_ok=True)
+        # Single-writer guarantee ACROSS pytest processes: a concurrent
+        # second `pytest` run reuses the same worker ids, and two writers
+        # in one directory can corrupt entries (observed as one-off
+        # numeric failures in otherwise-green tests). Hold a flock for
+        # the session; if another live run owns it, fall back to a
+        # private cold directory.
+        import fcntl
+        import tempfile
 
-    _lockf = open(os.path.join(cache_dir, ".writer_lock"), "w")
-    try:
-        fcntl.flock(_lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except OSError:
-        cache_dir = tempfile.mkdtemp(prefix=f"optiland_xla_{worker}_")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _lockf = open(os.path.join(cache_dir, ".writer_lock"), "w")
+        try:
+            fcntl.flock(_lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            cache_dir = tempfile.mkdtemp(
+                prefix=f"optiland_xla_{worker}_"
+            )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        os.environ["_OPTILAND_TPU_CACHE_PID"] = str(os.getpid())
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -83,3 +110,26 @@ def assert_allclose(actual, desired, rtol=1e-5, atol=1e-7):
     np.testing.assert_allclose(
         np.asarray(actual), np.asarray(desired), rtol=rtol, atol=atol
     )
+
+
+# ---------------------------------------------------------------------------
+# Crash resilience: jaxlib 0.9.0's XLA:CPU backend very rarely (~1 per
+# full-suite run) segfaults INSIDE backend_compile_and_load when several
+# worker processes compile concurrently ("Fatal Python error: Segmentation
+# fault" with the main thread in jax/_src/compiler.py:362; the victim test
+# is arbitrary and always passes in isolation). Until the upstream crash is
+# fixed, reschedule a crashed test once on a fresh worker instead of
+# reporting a spurious failure. A second crash of the SAME test is reported
+# normally — real crashers cannot hide.
+# ---------------------------------------------------------------------------
+
+_crash_retried: set = set()
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    if crashitem not in _crash_retried and hasattr(
+        sched, "mark_test_pending"
+    ):
+        _crash_retried.add(crashitem)
+        sched.mark_test_pending(crashitem)
+        report.outcome = "rerun"

@@ -396,7 +396,10 @@ class TestSpotRmsFastField:
         fp = float(f(st.replace(radius=st.radius.at[si].set(r0 + eps))))
         fm = float(f(st.replace(radius=st.radius.at[si].set(r0 - eps))))
         fd = (fp - fm) / (2 * eps)
-        assert abs(fd - gr[si]) < 2e-3 * max(1e-9, abs(fd)), (si, fd, gr[si])
+        # 5e-3: a sanity check only (finite differences in f32 sit at
+        # ~2e-3 relative); the tight gate is the full-stack AD-vs-XLA
+        # parity test below
+        assert abs(fd - gr[si]) < 5e-3 * max(1e-9, abs(fd)), (si, fd, gr[si])
 
     def test_gradient_matches_xla_merit(self):
         """Full-stack gradient parity vs the XLA trace path on the same
