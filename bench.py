@@ -71,10 +71,25 @@ def _build_variant(name):
         # in-kernel localize/globalize rotation path
         o.surfaces.surfaces[1].rx = _np.radians(1.0)
         return o, None
-    if name in ("polarized", "polarized_axis"):
+    if name in ("polarized", "polarized_axis", "polarized_tmm"):
         from optiland_tpu.polarization import create_polarization
 
-        if name == "polarized_axis":
+        if name == "polarized_tmm":
+            # 2-layer dielectric AR stacks: in-kernel real-index TMM
+            from optiland_tpu.coatings import ThinFilmCoating
+            from optiland_tpu.materials import IdealMaterial
+            from optiland_tpu.thin_film import ThinFilmStack
+
+            def _stack():
+                st = ThinFilmStack(IdealMaterial(1.0), IdealMaterial(1.52),
+                                   reference_wl_um=0.55)
+                st.add_layer_qwot(IdealMaterial(1.38))
+                st.add_layer(IdealMaterial(2.35), 0.08)
+                return st
+
+            c1 = ThinFilmCoating(_stack())
+            c2 = ThinFilmCoating(_stack())
+        elif name == "polarized_axis":
             # polarizer + retarder coats: the full s/p 2x2 in-kernel path
             from optiland_tpu.coatings import (
                 PolarizerCoating, RetarderCoating,

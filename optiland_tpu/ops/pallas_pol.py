@@ -28,7 +28,11 @@ Coating models covered in-kernel (static per-surface dispatch):
   - PolarizerCoating / RetarderCoating: full s/p-frame 2x2 Jones with
     cross terms from the global-axis projection (reference:
     coatings.py:418,450, jones.py:120,331)
-ThinFilmCoating (per-ray TMM amplitudes) falls back to the XLA path.
+  - ThinFilmCoating: per-ray transfer-matrix amplitudes computed in-kernel
+    for absorption-free dielectric stacks (the real-index TMM reduces to 4
+    real accumulators per polarization; reference: coatings.py:488-560,
+    thin_film/core.py:84-149). Absorbing or internally-evanescent stacks
+    fall back to the XLA path.
 
 Backward: in-kernel VJP (same design as ops/pallas_trace._pallas_bwd) —
 jax.vjp of the identical chain traced into the kernel body, scalar
@@ -64,9 +68,24 @@ from optiland_tpu.ops.pallas_trace import (
 TILE_ROWS_POL_FWD = 128
 TILE_ROWS_POL_BWD = 32  # 64 rows OOMs scoped VMEM (r4 sweep); 16 -> 32 gave +9%
 
-N_COAT = 4  # per-surface coating scalars:
+N_COAT = 4  # minimum per-surface coating-scalar columns:
 #   fresnel   (n1, n2, 0, 0)    simple (T, R, 0, 0)
 #   polarizer (ax, ay, az, 0)   retarder (d, ax, ay, az)
+# ThinFilm ("tmm", L) kinds widen the table to 2 + 2L columns:
+#   (n0, ns, n_1, 2*pi*d_1/lambda, ..., n_L, 2*pi*d_L/lambda)
+
+
+def _kind_name(kind):
+    return kind[0] if isinstance(kind, tuple) else kind
+
+
+def _ncoat_of(coat_kinds):
+    """Static coat-table width for a kinds tuple."""
+    w = N_COAT
+    for k in coat_kinds:
+        if isinstance(k, tuple) and k[0] == "tmm":
+            w = max(w, 2 + 2 * k[1])
+    return w
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +155,65 @@ def _fresnel_diag(n1, n2, adot, reflect):
         return js, (-p_re, -p_im), (-one, zero)
     js = _cdiv(2 * cos_i, zero, cos_i + root_re, root_im)
     jp = _cdiv(2 * n * cos_i, zero, n * n * cos_i + root_re, root_im)
+    return js, jp, (one, zero)
+
+
+def _tmm_diag(getcoat, s, n_layers, adot, reflect):
+    """Dielectric-stack TMM Jones diagonal (Js, Jp, Jz) as real pairs,
+    evaluated per ray from the coat-table row
+    (n0, ns, n_l, 2*pi*d_l/lambda, ...). Restricted to absorption-free
+    stacks with min(n_l, ns) >= n0 (no internal evanescence), where the
+    characteristic matrix keeps the form [[real, i*imag], [i*imag, real]]
+    — 4 real accumulators per polarization instead of full complex 2x2
+    (reference: thin_film/core.py:84-149 tmm_coherent; the admittance
+    scale factor cancels in r and t).
+    """
+    n0 = getcoat(s, 0)
+    ns = getcoat(s, 1)
+    u2 = (n0 * n0) * (1.0 - adot * adot)  # (n0 sin theta0)^2
+    cos0 = adot
+    coss = jnp.sqrt(jnp.maximum(ns * ns - u2, 1e-30)) / ns
+
+    one = jnp.ones_like(adot)
+    zero = jnp.zeros_like(adot)
+
+    outs = []
+    for pol in ("s", "p"):
+        if pol == "s":
+            eta0 = n0 * cos0
+            etas = ns * coss
+        else:
+            eta0 = n0 / cos0
+            etas = ns / coss
+        Ar, Bi, Ci, Dr = one, zero, zero, one
+        for l in range(n_layers):
+            nl = getcoat(s, 2 + 2 * l)
+            dl = getcoat(s, 3 + 2 * l)  # pre-scaled: 2*pi*d_l/lambda
+            cosl = jnp.sqrt(jnp.maximum(nl * nl - u2, 1e-30)) / nl
+            etal = nl * cosl if pol == "s" else nl / cosl
+            delta = nl * dl * cosl
+            c = jnp.cos(delta)
+            sn = jnp.sin(delta)
+            # M_l = [[c, i sn/eta], [i eta sn, c]]
+            Ar, Bi, Ci, Dr = (
+                Ar * c - Bi * etal * sn,
+                Ar * sn / etal + Bi * c,
+                Ci * c + Dr * etal * sn,
+                -Ci * sn / etal + Dr * c,
+            )
+        den_r = eta0 * Ar + etas * Dr
+        den_i = eta0 * etas * Bi + Ci
+        if reflect:
+            num_r = eta0 * Ar - etas * Dr
+            num_i = eta0 * etas * Bi - Ci
+            outs.append(_cdiv(num_r, num_i, den_r, den_i))
+        else:
+            # t = conj(2 eta0 / denom)
+            mag = den_r * den_r + den_i * den_i
+            outs.append((2 * eta0 * den_r / mag, 2 * eta0 * den_i / mag))
+    js, jp = outs
+    if reflect:
+        return js, (-jp[0], -jp[1]), (-one, zero)
     return js, jp, (one, zero)
 
 
@@ -324,11 +402,15 @@ def _chain_pol(spec, coat_kinds, getp, getc, getcoat,
             want_extras=True,
         )
         L0, M0, N0, L1, M1, N1, adot = extras
-        kind = coat_kinds[s]
+        kind = _kind_name(coat_kinds[s])
         diag = None
         jmat = None
         basis = None
-        if kind == "simple":
+        if kind == "tmm":
+            diag = _tmm_diag(
+                getcoat, s, coat_kinds[s][1], adot, refl[s]
+            )
+        elif kind == "simple":
             # intensity factor after the interaction
             # (reference: coatings.py:164-200; T column 0, R column 1)
             factor = getcoat(s, 1 if refl[s] else 0)
@@ -430,10 +512,10 @@ def _pallas_fwd_pol(params, coeffs, coat, ray_arrays, spec, coat_kinds,
     return tuple(o.reshape(-1)[:R] for o in outs)
 
 
-def _dp_rows_pol(spec):
+def _dp_rows_pol(spec, ncoat=N_COAT):
     S = len(spec[0])
     nc = spec[4]
-    total = S * (NUM_P + nc + N_COAT)
+    total = S * (NUM_P + nc + ncoat)
     rows = -(-total // LANE)
     return max(8, -(-rows // 8) * 8)
 
@@ -442,9 +524,10 @@ def _make_bwd_kernel_pol(spec, coat_kinds, pol_scalars=None,
                          intensity=False):
     S = len(spec[0])
     nc = spec[4]
+    ncoat = _ncoat_of(coat_kinds)
     n_param = S * NUM_P
     n_coeff = S * nc
-    rows_dp = _dp_rows_pol(spec)
+    rows_dp = _dp_rows_pol(spec, ncoat)
     n_cot = 8 if intensity else 26
 
     def kernel(*refs):
@@ -461,14 +544,14 @@ def _make_bwd_kernel_pol(spec, coat_kinds, pol_scalars=None,
             coeffs_ref[s, ci] for s in range(S) for ci in range(nc)
         )
         covals = tuple(
-            coat_ref[s, ci] for s in range(S) for ci in range(N_COAT)
+            coat_ref[s, ci] for s in range(S) for ci in range(ncoat)
         )
         ins = [r[:] for r in in_refs]
 
         def fwd_vals(pv, cv, cov, x, y, z, L, M, N, i, opd):
             getp = lambda s, col: pv[s * NUM_P + col]
             getc = lambda s, ci: cv[s * nc + ci]
-            getcoat = lambda s, ci: cov[s * N_COAT + ci]
+            getcoat = lambda s, ci: cov[s * ncoat + ci]
             chain = _chain_pol_intensity if intensity else _chain_pol
             args = (spec, coat_kinds)
             if intensity:
@@ -515,7 +598,8 @@ def _pallas_bwd_pol(params, coeffs, coat, inputs, cotangents, spec,
                     coat_kinds, pol_scalars=None, intensity=False):
     S = len(spec[0])
     nc = spec[4]
-    rows_dp = _dp_rows_pol(spec)
+    ncoat = _ncoat_of(coat_kinds)
+    rows_dp = _dp_rows_pol(spec, ncoat)
     tile = _tile_rows(inputs[0].shape[0], TILE_ROWS_POL_BWD)
     arrs, R = _pad_ray_arrays(list(inputs) + list(cotangents), tile)
     rows = arrs[0].shape[0]
@@ -547,8 +631,8 @@ def _pallas_bwd_pol(params, coeffs, coat, inputs, cotangents, spec,
     dparams = flat[: S * NUM_P].reshape(S, NUM_P)
     dcoeffs = flat[S * NUM_P : S * (NUM_P + nc)].reshape(S, nc)
     dcoat = flat[
-        S * (NUM_P + nc) : S * (NUM_P + nc + N_COAT)
-    ].reshape(S, N_COAT)
+        S * (NUM_P + nc) : S * (NUM_P + nc + ncoat)
+    ].reshape(S, ncoat)
     return ray_grads, dparams, dcoeffs, dcoat
 
 
@@ -574,6 +658,7 @@ def _coat_kinds(system):
         PolarizerCoating,
         RetarderCoating,
         SimpleCoating,
+        ThinFilmCoating,
     )
 
     kinds = []
@@ -588,9 +673,42 @@ def _coat_kinds(system):
             kinds.append("polarizer")
         elif type(c) is RetarderCoating:
             kinds.append("retarder")
+        elif type(c) is ThinFilmCoating and _tmm_eligible(
+            c.stack, system
+        ):
+            kinds.append(("tmm", len(c.stack.layers)))
         else:
             kinds.append("unsupported")
     return tuple(kinds)
+
+
+def _tmm_eligible(stack, system) -> bool:
+    """True when the stack's TMM reduces to the in-kernel real-index form
+    at the system's primary wavelength: every medium absorption-free and
+    min(n_layer, n_substrate) >= n_incident (no internal evanescent waves
+    at any real incidence)."""
+    import numpy as _np
+
+    try:
+        wl = float(system.primary_wavelength)
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return False
+    try:
+        media = (
+            [stack.incident_material, stack.substrate_material]
+            + [l.material for l in stack.layers]
+        )
+        ns_c = [complex(_np.ravel(_np.asarray(
+            m.n(wl), dtype=complex))[0]) for m in media]
+        ks = [float(_np.ravel(_np.asarray(m.k(wl)))[0]) for m in media]
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return False
+    if any(abs(k) > 1e-12 for k in ks):
+        return False
+    if any(abs(n.imag) > 1e-12 for n in ns_c):
+        return False
+    n0 = ns_c[0].real
+    return all(n.real >= n0 * 1.0001 for n in ns_c[1:])
 
 
 def pallas_pol_supported(system) -> bool:
@@ -615,12 +733,16 @@ def pallas_pol_supported(system) -> bool:
 
 
 def build_coat_table(system, wavelength):
-    """(S, N_COAT) coating scalar table: (n1, n2) for Fresnel coatings,
-    (T, R) for SimpleCoatings, zeros otherwise."""
+    """(S, ncoat) coating scalar table (column layouts: see N_COAT note).
+    The width is static per system: max(4, 2 + 2*L) over ThinFilm
+    stacks."""
+    import numpy as _np
+
     cfg = system.cfg
     S = cfg.num_surfaces
     dt = system.stack.radius.dtype
     kinds = _coat_kinds(system)
+    ncoat = _ncoat_of(kinds)
     rows = []
     for s in range(S):
         c = (cfg.coatings or (None,) * S)[s]
@@ -643,8 +765,31 @@ def build_coat_table(system, wavelength):
             rows.append(jnp.asarray(
                 [float(c._jones.retardance), ax[0], ax[1], ax[2]], dt
             ))
+        elif _kind_name(kind) == "tmm":
+            st = c.stack
+            wlf = float(wavelength)
+            vals = [
+                float(_np.real(_np.ravel(_np.asarray(
+                    st.incident_material.n(wlf), dtype=complex))[0])),
+                float(_np.real(_np.ravel(_np.asarray(
+                    st.substrate_material.n(wlf), dtype=complex))[0])),
+            ]
+            for layer in st.layers:
+                vals.append(float(_np.real(_np.ravel(_np.asarray(
+                    layer.material.n(wlf), dtype=complex))[0])))
+                # pre-fold 2*pi/lambda into the thickness column
+                vals.append(
+                    2.0 * float(np.pi) * float(layer.thickness_um) / wlf
+                )
+            rows.append(jnp.asarray(vals, dt))
         else:
-            rows.append(jnp.zeros((N_COAT,), dt))
+            rows.append(jnp.zeros((0,), dt))
+    # pad every row to the common static width
+    rows = [
+        jnp.concatenate([r, jnp.zeros((ncoat - r.shape[0],), dt)])
+        if r.shape[0] < ncoat else r
+        for r in rows
+    ]
     return jnp.stack(rows)
 
 

@@ -210,13 +210,14 @@ def test_pol_c64_path_close_to_f64():
 
 
 def test_pol_unsupported_falls_back():
-    """ThinFilmCoating needs per-ray TMM amplitudes -> XLA fallback."""
+    """Coating kinds outside the in-kernel dispatch (here: an absorbing
+    thin-film stack) keep the XLA path."""
     from optiland_tpu.coatings import ThinFilmCoating
     from optiland_tpu.thin_film import ThinFilmStack
     from optiland_tpu.materials import IdealMaterial
 
     stack = ThinFilmStack(IdealMaterial(1.0), IdealMaterial(1.52))
-    stack.add_layer(IdealMaterial(2.35), 100.0)
+    stack.add_layer(IdealMaterial(2.35, 0.2), 100.0)  # absorbing layer
     o = pol_doublet(coat=ThinFilmCoating(stack))
     assert not pallas_pol_supported(o.system)
 
@@ -288,3 +289,63 @@ def test_pol_axis_coating_intensity_and_grad(kind):
         np.asarray(g1.radius)[1:-1], np.asarray(g2.radius)[1:-1],
         rtol=1e-6, atol=1e-10,
     )
+
+
+def _tmm_coated(n_layers=2, substrate=1.52):
+    from optiland_tpu.coatings import ThinFilmCoating
+    from optiland_tpu.materials import IdealMaterial
+    from optiland_tpu.thin_film import ThinFilmStack
+
+    st = ThinFilmStack(IdealMaterial(1.0), IdealMaterial(substrate),
+                       reference_wl_um=0.55)
+    st.add_layer_qwot(IdealMaterial(1.38))
+    if n_layers > 1:
+        st.add_layer(IdealMaterial(2.35), 0.08)
+    return ThinFilmCoating(st)
+
+
+def test_pol_tmm_coating_matches_xla():
+    """ThinFilmCoating runs in-kernel via real-index TMM (reference:
+    coatings.py:488-560, thin_film/core.py:84-149)."""
+    o = pol_doublet(coat=_tmm_coated(), coat2=None)
+    o.surfaces.surfaces[2].coating = None
+    o._invalidate()
+    system = o.system
+    from optiland_tpu.ops.pallas_pol import _coat_kinds
+
+    assert _coat_kinds(system)[1] == ("tmm", 2)
+    assert pallas_pol_supported(system)
+    rays = _bundle(system, n=200)
+    ref, hist = xla_trace.trace(system, rays, record=False)
+    out, p = trace_fast_pol(system, rays, 0.55)
+    for name in ("x", "y", "z", "L", "M", "N", "i", "opd"):
+        assert_allclose(
+            getattr(out, name), getattr(ref, name), rtol=1e-9, atol=1e-11
+        )
+    assert_allclose(p, hist["p"], rtol=1e-9, atol=1e-12)
+
+
+def test_pol_tmm_absorbing_stack_falls_back():
+    """Stacks with absorbing layers keep the XLA path (the in-kernel TMM
+    is the real-index reduction)."""
+    from optiland_tpu.coatings import ThinFilmCoating
+    from optiland_tpu.materials import IdealMaterial
+    from optiland_tpu.thin_film import ThinFilmStack
+
+    st = ThinFilmStack(IdealMaterial(1.0), IdealMaterial(1.52))
+    st.add_layer(IdealMaterial(2.0, 0.5), 0.05)  # k != 0
+    o = pol_doublet(coat=ThinFilmCoating(st))
+    assert not pallas_pol_supported(o.system)
+
+
+def test_pol_tmm_low_index_layer_falls_back():
+    """A layer below the incident index can go evanescent at real
+    incidence -> XLA fallback."""
+    from optiland_tpu.coatings import ThinFilmCoating
+    from optiland_tpu.materials import IdealMaterial
+    from optiland_tpu.thin_film import ThinFilmStack
+
+    st = ThinFilmStack(IdealMaterial(1.5), IdealMaterial(1.52))
+    st.add_layer(IdealMaterial(1.2), 0.1)  # below incident 1.5
+    o = pol_doublet(coat=ThinFilmCoating(st))
+    assert not pallas_pol_supported(o.system)
