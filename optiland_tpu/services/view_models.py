@@ -536,3 +536,148 @@ __all__ = [
     "LensEditorModel",
     "SystemPropertiesModel",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Viewer panel
+# ---------------------------------------------------------------------------
+
+
+class ViewerPanelModel:
+    """Headless viewer-panel logic: render settings, 2D surface hit-test,
+    image export, and the interactive WebGL export
+    (reference: optiland_gui/viewer_panel.py, 832 LoC — view switching,
+    per-view settings, interactivity)."""
+
+    DISTRIBUTIONS = ("hexapolar", "uniform", "random", "ring", "cross")
+
+    def __init__(self, connector):
+        self.c = connector
+        self.settings = {
+            "fields": "all",        # or list of (Hx, Hy)
+            "wavelengths": "primary",
+            "num_rays": 12,
+            "distribution": "hexapolar",
+        }
+        self.picked: int | None = None
+
+    # ---------------- rendering ----------------
+
+    def draw_2d(self, ax):
+        from optiland_tpu.visualization import draw_system
+
+        s = self.settings
+        draw_system(
+            self.c.get_optic(), ax=ax, fields=s["fields"],
+            wavelengths=s["wavelengths"], num_rays=s["num_rays"],
+        )
+        return ax
+
+    def draw_3d(self, ax):
+        from optiland_tpu.visualization import OpticViewer3D
+
+        s = self.settings
+        OpticViewer3D(self.c.get_optic()).view(
+            ax=ax, fields=s["fields"], wavelengths=s["wavelengths"],
+            num_rays=s["num_rays"],
+        )
+        return ax
+
+    def export_png(self, path: str, view: str = "2d", dpi: int = 150):
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        from matplotlib.figure import Figure
+
+        fig = Figure(figsize=(8, 5), tight_layout=True)
+        if view == "3d":
+            self.draw_3d(fig.add_subplot(111, projection="3d"))
+        else:
+            self.draw_2d(fig.add_subplot(111))
+        fig.savefig(path, dpi=dpi)
+        return path
+
+    def export_interactive_html(self, path: str | None = None) -> str:
+        """Standalone WebGL page with orbit/zoom/pan + pickable surfaces
+        (visualization.webgl.OpticViewer3DHTML)."""
+        from optiland_tpu.visualization import OpticViewer3DHTML
+
+        s = self.settings
+        return OpticViewer3DHTML(self.c.get_optic()).view(
+            path=path, num_rays=s["num_rays"],
+        )
+
+    # ---------------- 2D hit-test ----------------
+
+    def pick_2d(self, z_click: float, y_click: float,
+                tolerance: float = 2.0):
+        """Surface index nearest to a (z, y) click on the 2D layout, or
+        None outside ``tolerance`` (mm). Distances measure to each
+        surface's cross-section curve z(y) = pos + sag(0, y)."""
+        import jax.numpy as jnp
+
+        from optiland_tpu.core import geometry as geom_mod
+        from optiland_tpu.core.system import positions
+
+        optic = self.c.get_optic()
+        system = optic.system
+        stack, cfg = system.stack, system.cfg
+        pos = np.asarray(positions(stack))
+        best = None
+        best_d = tolerance
+        for idx in range(1, cfg.num_surfaces):
+            try:
+                sag = float(np.asarray(geom_mod.sag_static(
+                    cfg.geom_codes[idx], stack.radius[idx],
+                    stack.conic[idx], stack.coeffs[idx],
+                    jnp.asarray(0.0), jnp.asarray(y_click),
+                    p1=stack.geo_p1[idx], p2=stack.geo_p2[idx],
+                    aux=cfg.geom_aux[idx] if cfg.geom_aux else None,
+                )))
+            except Exception:
+                sag = 0.0
+            if not np.isfinite(sag):
+                sag = 0.0
+            z_surf = pos[idx] + float(stack.dz[idx]) + sag
+            d = abs(z_surf - z_click)
+            if d < best_d:
+                best_d = d
+                best = idx
+        self.picked = best
+        return best
+
+    def picked_info(self) -> dict | None:
+        """Prescription summary of the picked surface (the reference's
+        click-to-inspect affordance)."""
+        if self.picked is None:
+            return None
+        optic = self.c.get_optic()
+        s = optic.surfaces.surfaces[self.picked]
+        mat = getattr(s, "material", None)
+        return {
+            "index": self.picked,
+            "type": s.surface_type or "standard",
+            "radius": float(np.asarray(s.radius, float)),
+            "thickness": float(np.asarray(s.thickness, float)),
+            "conic": float(getattr(s, "conic", 0.0) or 0.0),
+            "material": mat if isinstance(mat, str) else (
+                getattr(mat, "name", None) if mat is not None else "air"
+            ),
+            "is_stop": bool(getattr(s, "is_stop", False)),
+        }
+
+    # ---------------- settings ----------------
+
+    def set_num_rays(self, n: int):
+        self.settings["num_rays"] = max(1, int(n))
+
+    def set_distribution(self, name: str):
+        if name not in self.DISTRIBUTIONS:
+            raise ValueError(f"unknown distribution {name!r}")
+        self.settings["distribution"] = name
+
+    def set_wavelengths(self, which):
+        self.settings["wavelengths"] = which
+
+    def set_fields(self, which):
+        self.settings["fields"] = which

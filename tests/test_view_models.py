@@ -319,3 +319,68 @@ class TestSystemPropertiesEdgeCases:
         m.apply()
         o = conn.get_optic()
         assert o.fields.fields[1].vy == pytest.approx(0.3)
+
+
+class TestViewerPanelModel:
+    def test_draw_2d_and_3d(self, conn, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib.figure import Figure
+
+        from optiland_tpu.services.view_models import ViewerPanelModel
+
+        m = ViewerPanelModel(conn)
+        fig = Figure()
+        m.draw_2d(fig.add_subplot(111))
+        fig2 = Figure()
+        m.draw_3d(fig2.add_subplot(111, projection="3d"))
+        png = m.export_png(str(tmp_path / "layout.png"))
+        assert (tmp_path / "layout.png").stat().st_size > 1000
+
+    def test_pick_2d_finds_surfaces(self, conn):
+        from optiland_tpu.services.view_models import ViewerPanelModel
+
+        m = ViewerPanelModel(conn)
+        # Cooke surface 1 sits at z=0 (vertex); click right next to it
+        idx = m.pick_2d(0.05, 2.0)
+        assert idx == 1
+        info = m.picked_info()
+        assert info["index"] == 1 and info["material"] == "SK16"
+        # far away from any surface -> None
+        assert m.pick_2d(500.0, 0.0) is None
+        assert m.picked_info() is None
+
+    def test_pick_2d_resolves_overlap_by_sag(self, conn):
+        from optiland_tpu.services.view_models import ViewerPanelModel
+
+        m = ViewerPanelModel(conn)
+        # image plane of the Cooke (z ~ 60.15): the nearest surface there
+        # must be the last one
+        n = conn.get_optic().surfaces.num_surfaces
+        from optiland_tpu.core.system import positions
+
+        z_img = float(
+            positions(conn.get_optic().system.stack)[n - 1]
+        )
+        assert m.pick_2d(z_img, 0.5) == n - 1
+
+    def test_interactive_export(self, conn, tmp_path):
+        from optiland_tpu.services.view_models import ViewerPanelModel
+
+        m = ViewerPanelModel(conn)
+        m.set_num_rays(6)
+        path = m.export_interactive_html(str(tmp_path / "sys3d.html"))
+        text = (tmp_path / "sys3d.html").read_text()
+        assert "webgl" in text and "SCENE" in text
+
+    def test_settings_validation(self, conn):
+        from optiland_tpu.services.view_models import ViewerPanelModel
+
+        m = ViewerPanelModel(conn)
+        m.set_distribution("random")
+        assert m.settings["distribution"] == "random"
+        with pytest.raises(ValueError):
+            m.set_distribution("spiral")
+        m.set_num_rays(0)
+        assert m.settings["num_rays"] == 1
