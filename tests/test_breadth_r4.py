@@ -1,0 +1,401 @@
+"""Round-4 breadth battery (VERDICT r3 ask #10): multi-wavelength
+polarized traces, grating+coating combinations, deep freeform systems on
+the scan engine, and a full operand-registry sweep.
+
+Cheap by construction: module-scoped traced fixtures, ~100-ray bundles,
+many property assertions per compile.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optiland_tpu.core import raygen, trace as trace_core
+from optiland_tpu.optic import Optic
+
+# ---------------------------------------------------------------------------
+# Multi-wavelength polarized traces (XLA path)
+# ---------------------------------------------------------------------------
+
+POL_WAVELENGTHS = (0.45, 0.55, 0.65)
+
+
+def _pol_system(coat):
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    o.surfaces.add(index=1, radius=45.0, thickness=5.0, material="N-BK7",
+                   is_stop=True, coating=coat)
+    o.surfaces.add(index=2, radius=-45.0, thickness=40.0, coating=coat)
+    o.surfaces.add(index=3)
+    o.set_aperture("EPD", 18.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    for i, wl in enumerate(POL_WAVELENGTHS):
+        o.wavelengths.add(wl, is_primary=(i == 1))
+    o.set_polarization("H")
+    return o
+
+
+def _coats():
+    from optiland_tpu.coatings import (
+        FresnelCoating,
+        PolarizerCoating,
+        RetarderCoating,
+        SimpleCoating,
+        ThinFilmCoating,
+    )
+    from optiland_tpu.materials import IdealMaterial
+    from optiland_tpu.thin_film import ThinFilmStack
+
+    st = ThinFilmStack(IdealMaterial(1.0), IdealMaterial(1.52),
+                       reference_wl_um=0.55)
+    st.add_layer_qwot(IdealMaterial(1.38))
+    return {
+        "fresnel": "fresnel",
+        "simple": SimpleCoating(0.92, 0.05),
+        "polarizer": PolarizerCoating(axis=(1, 0.2, 0)),
+        "retarder": RetarderCoating(np.pi / 3, axis=(1, 0.2, 0)),
+        "thinfilm": ThinFilmCoating(st),
+    }
+
+
+@pytest.fixture(scope="module")
+def pol_traces():
+    """{coat_name: {wl: (rays, final, p)}} on the XLA polarized path."""
+    out = {}
+    rng = np.random.default_rng(3)
+    n = 80
+    r = np.sqrt(rng.uniform(size=n)) * 0.9
+    th = rng.uniform(0, 2 * np.pi, n)
+    Px = jnp.asarray(r * np.cos(th))
+    Py = jnp.asarray(r * np.sin(th))
+    H = jnp.zeros(n)
+    for name, coat in _coats().items():
+        system = _pol_system(coat).system
+        per_wl = {}
+        for wl in POL_WAVELENGTHS:
+            rays = raygen.generate_rays(system, H, H + 0.3, Px, Py, wl)
+            final, hist = trace_core.trace(system, rays, record=False)
+            per_wl[wl] = (rays, final, np.asarray(hist["p"]))
+        out[name] = per_wl
+    return out
+
+
+COATS = ("fresnel", "simple", "polarizer", "retarder", "thinfilm")
+
+
+@pytest.mark.parametrize("coat", COATS)
+@pytest.mark.parametrize("wl", POL_WAVELENGTHS)
+def test_pol_matrix_is_passive(pol_traces, coat, wl):
+    """Every coating is passive: the polarization matrix cannot amplify
+    any field state (max singular value <= 1 + eps)."""
+    _, final, p = pol_traces[coat][wl]
+    alive = np.asarray(final.i) > 0
+    sv = np.linalg.svd(p[alive], compute_uv=False)
+    assert sv.max() <= 1.0 + 1e-9
+
+
+@pytest.mark.parametrize("coat", COATS)
+def test_pol_wavelength_dependence(pol_traces, coat):
+    """The p-matrix varies across wavelengths for dispersive coatings
+    (Fresnel from N-BK7, thin-film stack) and the trace itself disperses
+    for every coating."""
+    p1 = pol_traces[coat][POL_WAVELENGTHS[0]][2]
+    p3 = pol_traces[coat][POL_WAVELENGTHS[2]][2]
+    if coat in ("fresnel", "thinfilm"):
+        assert np.abs(p1 - p3).max() > 1e-7
+    y1 = np.asarray(pol_traces[coat][POL_WAVELENGTHS[0]][1].y)
+    y3 = np.asarray(pol_traces[coat][POL_WAVELENGTHS[2]][1].y)
+    assert np.abs(y1 - y3).max() > 1e-6
+
+
+@pytest.mark.parametrize("coat", COATS)
+@pytest.mark.parametrize("wl", POL_WAVELENGTHS)
+def test_pol_intensity_bounded(pol_traces, coat, wl):
+    from optiland_tpu.polarization import (
+        create_polarization, polarized_intensity,
+    )
+
+    rays, final, p = pol_traces[coat][wl]
+    i_pol = np.asarray(polarized_intensity(
+        jnp.asarray(p), create_polarization("H"),
+        rays.L, rays.M, rays.N, rays.i,
+    ))
+    assert (i_pol >= -1e-12).all()
+    assert (i_pol <= np.asarray(rays.i) + 1e-9).all()
+
+
+def test_crossed_polarizers_extinguish():
+    """H input through a V polarizer: ~zero transmitted intensity at
+    every wavelength (multi-wavelength Malus check)."""
+    from optiland_tpu.coatings import PolarizerCoating
+    from optiland_tpu.polarization import (
+        create_polarization, polarized_intensity,
+    )
+
+    o = _pol_system(PolarizerCoating(axis=(0, 1, 0)))
+    system = o.system
+    Px = jnp.asarray([0.1, 0.3])
+    Py = jnp.asarray([0.0, 0.2])
+    H = jnp.zeros(2)
+    for wl in POL_WAVELENGTHS:
+        rays = raygen.generate_rays(system, H, H, Px, Py, wl)
+        final, hist = trace_core.trace(system, rays, record=False)
+        i_pol = np.asarray(polarized_intensity(
+            hist["p"], create_polarization("H"),
+            rays.L, rays.M, rays.N, rays.i,
+        ))
+        assert i_pol.max() < 1e-3  # near-normal incidence leakage only
+
+
+# ---------------------------------------------------------------------------
+# Grating + coating combinations
+# ---------------------------------------------------------------------------
+
+
+def _grating_system(order=1, coat=None, period=5.0):
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    kw = {"coating": coat} if coat else {}
+    o.surfaces.add(index=1, surface_type="grating", thickness=25.0,
+                   is_stop=True, grating_order=order,
+                   grating_period=period,
+                   groove_orientation_angle=0.0, **kw)
+    o.surfaces.add(index=2)
+    o.set_aperture("EPD", 8.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.wavelengths.add(0.55, is_primary=True)
+    return o
+
+
+@pytest.mark.parametrize("order", (-2, -1, 0, 1, 2))
+def test_grating_equation_orders(order):
+    """Transmission grating at normal incidence: sin(theta_m) = m w / d
+    for every order (reference: rays/real_rays.py gratingdiffract)."""
+    o = _grating_system(order=order)
+    system = o.system
+    rays = raygen.generate_rays(
+        system, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1), jnp.zeros(1),
+        0.55,
+    )
+    final, _ = trace_core.trace(system, rays, record=False)
+    sin_out = float(np.asarray(final.M)[0])
+    # sign convention pinned by the golden grating parity tests
+    expected = order * 0.55 / 5.0
+    assert sin_out == pytest.approx(expected, abs=1e-9)
+
+
+def test_grating_with_simple_coating_scales_intensity():
+    from optiland_tpu.coatings import SimpleCoating
+
+    o_plain = _grating_system()
+    o_coat = _grating_system(coat=SimpleCoating(0.75, 0.2))
+    Px = jnp.linspace(-0.8, 0.8, 16)
+    ray_args = (jnp.zeros(16), jnp.zeros(16), Px, jnp.zeros(16), 0.55)
+    r1 = raygen.generate_rays(o_plain.system, *ray_args)
+    r2 = raygen.generate_rays(o_coat.system, *ray_args)
+    f1, _ = trace_core.trace(o_plain.system, r1, record=False)
+    f2, _ = trace_core.trace(o_coat.system, r2, record=False)
+    np.testing.assert_allclose(np.asarray(f2.y), np.asarray(f1.y),
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(f2.i), 0.75 * np.asarray(f1.i), rtol=1e-12
+    )
+
+
+def test_polarized_grating_trace():
+    """Gratings compose with the polarized XLA path: the p-matrix stays
+    passive and the diffraction angles match the unpolarized trace."""
+    o = _grating_system()
+    o.wavelengths.wavelengths.clear()
+    o.wavelengths.add(0.55, is_primary=True)
+    o.set_polarization("H")
+    system = o.system
+    Px = jnp.linspace(-0.5, 0.5, 8)
+    rays = raygen.generate_rays(
+        system, jnp.zeros(8), jnp.zeros(8), Px, jnp.zeros(8), 0.55
+    )
+    final, hist = trace_core.trace(system, rays, record=False)
+    sv = np.linalg.svd(np.asarray(hist["p"]), compute_uv=False)
+    assert sv.max() <= 1.0 + 1e-9
+    o2 = _grating_system()
+    r2 = raygen.generate_rays(
+        o2.system, jnp.zeros(8), jnp.zeros(8), Px, jnp.zeros(8), 0.55
+    )
+    f2, _ = trace_core.trace(o2.system, r2, record=False)
+    np.testing.assert_allclose(
+        np.asarray(final.M), np.asarray(f2.M), rtol=1e-12
+    )
+
+
+def test_evanescent_order_vignettes():
+    """|m| large enough that |sin| > 1: the order is evanescent and the
+    ray's intensity must drop to zero, not NaN."""
+    o = _grating_system(order=12, period=5.0)  # 12*0.55/5 = 1.32 > 1
+    rays = raygen.generate_rays(
+        o.system, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1), jnp.zeros(1),
+        0.55,
+    )
+    final, _ = trace_core.trace(o.system, rays, record=False)
+    assert float(np.asarray(final.i)[0]) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Deep freeform system on the scan engine
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def deep_freeform():
+    """20-surface system mixing 6 scan-supported sag families."""
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    fams = [
+        dict(),
+        dict(surface_type="even_asphere", coefficients=[1e-6, -1e-9]),
+        dict(surface_type="zernike", coefficients=[0, 0, 0, 1e-4],
+             norm_radius=15.0),
+        dict(surface_type="chebyshev", coefficients=[[0, 1e-5], [1e-5, 0]],
+             norm_x=15.0, norm_y=15.0),
+        dict(surface_type="biconic", radius_y=-80.0, conic_y=-0.2),
+        dict(surface_type="forbes_qbfs", coefficients=[1e-5],
+             norm_radius=15.0),
+    ]
+    idx = 1
+    sign = 1
+    for k in range(18):
+        fam = dict(fams[k % len(fams)])
+        fam.setdefault("radius", sign * (60.0 + 2 * k))
+        o.surfaces.add(index=idx, thickness=2.0,
+                       material="N-BK7" if k % 2 == 0 else "air",
+                       is_stop=(idx == 1), **fam)
+        idx += 1
+        sign = -sign
+    o.surfaces.add(index=idx, thickness=30.0)
+    o.surfaces.add(index=idx + 1)
+    o.set_aperture("EPD", 14.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.wavelengths.add(0.55, is_primary=True)
+    return o.system
+
+
+def test_deep_freeform_uses_scan_engine(deep_freeform):
+    assert trace_core.scan_supported(deep_freeform.cfg)
+    assert deep_freeform.cfg.num_surfaces >= 20
+
+
+def test_deep_freeform_traces_and_engine_parity(deep_freeform, monkeypatch):
+    Px = jnp.linspace(-0.7, 0.7, 32)
+    rays = raygen.generate_rays(
+        deep_freeform, jnp.zeros(32), jnp.zeros(32), Px, jnp.zeros(32),
+        0.55,
+    )
+    monkeypatch.setenv("OPTILAND_TPU_TRACE_ENGINE", "scan")
+    out_s, _ = trace_core.trace(deep_freeform, rays, record=False)
+    assert np.isfinite(np.asarray(out_s.y)[np.asarray(out_s.i) > 0]).all()
+    monkeypatch.setenv("OPTILAND_TPU_TRACE_ENGINE", "unrolled")
+    out_u, _ = trace_core.trace(deep_freeform, rays, record=False)
+    ok = (np.asarray(out_s.i) > 0) & (np.asarray(out_u.i) > 0)
+    np.testing.assert_allclose(
+        np.asarray(out_s.y)[ok], np.asarray(out_u.y)[ok],
+        rtol=1e-11, atol=1e-11,
+    )
+
+
+def test_deep_freeform_gradients_through_scan(deep_freeform, monkeypatch):
+    monkeypatch.setenv("OPTILAND_TPU_TRACE_ENGINE", "scan")
+    Px = jnp.linspace(-0.6, 0.6, 16)
+
+    def f(stack):
+        sys2 = deep_freeform.replace(stack=stack)
+        rays = raygen.generate_rays(
+            sys2, jnp.zeros(16), jnp.zeros(16), Px, jnp.zeros(16), 0.55
+        )
+        out, _ = trace_core.trace(sys2, rays, record=False)
+        return jnp.sum(jnp.where(out.i > 0, out.y**2, 0.0))
+
+    g = jax.grad(f)(deep_freeform.stack)
+    gr = np.asarray(g.radius)[1:-1]
+    assert np.isfinite(gr).all() and np.abs(gr).max() > 0
+    gc = np.asarray(g.coeffs)
+    assert np.isfinite(gc).all() and np.abs(gc).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Operand-registry sweep
+# ---------------------------------------------------------------------------
+
+_RAY_KW = dict(Hx=0.0, Hy=0.6, Px=0.3, Py=0.4, wavelength=0.55)
+
+
+@pytest.fixture(scope="module")
+def cooke_sys():
+    from optiland_tpu.samples import CookeTriplet
+
+    return CookeTriplet().system
+
+
+def _operand_kwargs(name):
+    from optiland_tpu.optimization.operands import _PARAXIAL_OPS
+
+    if name in _PARAXIAL_OPS or name.endswith("_sum"):
+        return {}
+    if name == "seidel":
+        return {"seidel_number": 1}
+    if name in ("TSC", "SC", "CC", "TCC", "TAC", "AC", "TPC", "PC", "DC",
+                "TAchC", "LchC", "TchC"):
+        return {"surface_number": 1}
+    if name == "edge_thickness":
+        return {"surface_number": 1}
+    if name == "clearance":
+        return {
+            "line_ray_surface_idx": 1,
+            "line_ray_field_coords": (0.0, 0.6),
+            "line_ray_pupil_coords": (0.0, 0.5),
+            "point_ray_surface_idx": 2,
+            "point_ray_field_coords": (0.0, 0.0),
+            "point_ray_pupil_coords": (0.0, -0.5),
+            "wavelength": 0.55,
+        }
+    if name == "total_track":
+        return {}
+    if name in ("OPD_difference", "rms_spot_size"):
+        kw = dict(_RAY_KW)
+        kw["Px"] = jnp.linspace(-0.5, 0.5, 8)
+        kw["Py"] = jnp.zeros(8)
+        return kw
+    kw = dict(_RAY_KW)
+    kw["Px"] = jnp.asarray([kw["Px"]])
+    kw["Py"] = jnp.asarray([kw["Py"]])
+    if name == "AOI" or name.endswith("_lcs"):
+        kw["surface_number"] = 2
+    return kw
+
+
+def _sweep_names():
+    from optiland_tpu.optimization.operands import OPERAND_REGISTRY
+
+    skip = {"rms_spot_size_all_wavelengths"}
+    return sorted(n for n in OPERAND_REGISTRY if n not in skip)
+
+
+@pytest.mark.parametrize("name", _sweep_names())
+def test_operand_evaluates_finite(cooke_sys, name):
+    """Every registered operand evaluates to a finite value on the Cooke
+    (the reference exposes ~50 named operands; this sweep pins that the
+    registry stays callable end-to-end)."""
+    from optiland_tpu.optimization.operands import OPERAND_REGISTRY
+
+    fn = OPERAND_REGISTRY[name]
+    try:
+        val = fn(cooke_sys, **_operand_kwargs(name))
+    except TypeError as err:
+        pytest.fail(f"operand {name} signature drift: {err}")
+    arr = np.ravel(np.asarray(val))
+    assert arr.size >= 1
+    assert np.isfinite(arr).all(), f"{name} -> {arr}"
