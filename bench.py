@@ -61,7 +61,7 @@ def _build_variant(name):
 
     from optiland_tpu.optic import Optic
 
-    if name == "cooke":
+    if name in ("cooke", "poly"):
         return CookeTriplet(), None
     if name == "tilted_asphere":
         from optiland_tpu.samples import AsphericSinglet
@@ -170,13 +170,29 @@ def main():
     def gen(key, sys_):
         Px, Py = gen_pupil(key)
         H = jnp.zeros_like(Px)
+        if BENCH_SYSTEM == "poly":
+            wl = jnp.take(
+                jnp.asarray([0.48, 0.55, 0.65], jnp.float32),
+                jnp.arange(NUM_RAYS) % 3,
+            )
+            return raygen.generate_rays(
+                sys_, H, jnp.full_like(Px, 0.7), Px, Py, wl
+            )
         return raygen.generate_rays(
             sys_, H, jnp.full_like(Px, 0.7), Px, Py, WAVELENGTH
         )
 
     use_pol = BENCH_SYSTEM.startswith("polarized") and on_tpu
+    # polychromatic class: per-ray wavelengths across the system's three
+    # lines through the in-kernel dispersion kernel (trace_fast_poly)
+    use_poly = BENCH_SYSTEM == "poly" and on_tpu
 
     def final_xy(sys_, rays_):
+        if use_poly:
+            from optiland_tpu.ops.pallas_trace import trace_fast_poly
+
+            out = trace_fast_poly(sys_, rays_)
+            return out.x, out.y
         if use_pol:
             # In-kernel exit intensity: the 18 polarization-matrix channels
             # never leave VMEM (trace_fast_pol_intensity docstring).
@@ -200,7 +216,7 @@ def main():
     # Inputs vary per step (PRNG key folded with the step index) so no
     # execution/result caching layer can shortcut the measurement.
     def step_xy(key, sys_):
-        if use_field:
+        if use_field and not use_poly:
             Px, Py = gen_pupil(key)
             out = trace_fast_field(sys_, 0.0, 0.7, Px, Py, WAVELENGTH)
             return out.x, out.y
@@ -216,7 +232,8 @@ def main():
     # per-ray HBM traffic; the backward builds cotangents in-kernel from
     # the centroid scalars (ops/pallas_trace.spot_rms_fast_field).
     use_merit = (
-        use_field and os.environ.get("BENCH_FUSED", "1") == "1"
+        use_field and not use_poly
+        and os.environ.get("BENCH_FUSED", "1") == "1"
     )
 
     def merit_fused(seed, stack):
@@ -298,6 +315,7 @@ def main():
                     "t_fwd_s": t_fwd,
                     "kernel": (
                         "pallas-pol" if use_pol
+                        else "pallas-poly" if use_poly
                         else "pallas-merit" if use_merit
                         else "pallas-field" if use_field
                         else "pallas" if use_pallas else "xla"

@@ -241,3 +241,83 @@ def n_from_table(table_w, table_n, w):
 def k_from_table(table_w, table_k, w):
     """Interpolate tabulated extinction-coefficient data."""
     return jnp.interp(w, table_w, table_k)
+
+
+def n_formula_scalar_terms(code: int, cv, w):
+    """Kernel-friendly variant of :func:`n_formula_static`.
+
+    ``cv`` is a Python sequence of scalar values (e.g. SMEM reads inside a
+    Pallas kernel); every per-term reduction runs as a Python loop so no
+    intermediate exceeds ``w``'s rank — the vectorized formulas broadcast
+    ``w[..., None]`` against coefficient vectors, producing 3-D tensors
+    that Mosaic cannot lower ("Only 2D gather is supported").
+
+    Zero-padded trailing coefficients contribute exactly zero terms, as in
+    the vectorized forms.
+    """
+    cv = list(cv)
+
+    def pairs():
+        B, C = cv[1::2], cv[2::2]
+        m = min(len(B), len(C))
+        return cv[0], B[:m], C[:m]
+
+    w2 = w * w
+    if code == 0:  # constant
+        return cv[0] * jnp.ones_like(w)
+    if code == 1:  # Sellmeier
+        c0, B, C = pairs()
+        n2 = 1 + c0 * jnp.ones_like(w)
+        for b, c in zip(B, C):
+            n2 = n2 + b * w2 / (w2 - c * c)
+        return jnp.sqrt(n2)
+    if code == 2:  # Sellmeier-2
+        c0, B, C = pairs()
+        n2 = 1 + c0 * jnp.ones_like(w)
+        for b, c in zip(B, C):
+            n2 = n2 + b * w2 / (w2 - c)
+        return jnp.sqrt(n2)
+    if code in (3, 5):  # polynomial (sqrt) / Cauchy (plain)
+        c0, B, C = pairs()
+        acc = c0 * jnp.ones_like(w)
+        for b, c in zip(B, C):
+            acc = acc + b * w**c
+        return jnp.sqrt(acc) if code == 3 else acc
+    if code == 4:  # RefractiveIndex.INFO formula 4
+        n2 = (
+            cv[0]
+            + cv[1] * w ** cv[2] / (w2 - cv[3] ** cv[4])
+            + cv[5] * w ** cv[6] / (w2 - cv[7] ** cv[8])
+        )
+        B, C = cv[9::2], cv[10::2]
+        for b, c in zip(B, C):
+            n2 = n2 + b * w**c
+        return jnp.sqrt(n2)
+    if code == 6:  # gases
+        c0, B, C = pairs()
+        winv2 = 1.0 / w2
+        n = 1 + c0 * jnp.ones_like(w)
+        for b, c in zip(B, C):
+            n = n + b / (c - winv2)
+        return n
+    if code == 7:  # Herzberger
+        inv = 1.0 / (w2 - 0.028)
+        n = cv[0] + cv[1] * inv + cv[2] * inv**2
+        for k, c in enumerate(cv[3:], start=3):
+            n = n + c * w ** (2 * (k - 2))
+        return n
+    if code == 8:  # retro
+        b = cv[0] + cv[1] * w2 / (w2 - cv[2]) + cv[3] * w2
+        return jnp.sqrt((1 + 2 * b) / (1 - b))
+    if code == 9:  # exotic
+        n2 = (
+            cv[0] + cv[1] / (w2 - cv[2])
+            + cv[3] * (w - cv[4]) / ((w - cv[4]) ** 2 + cv[5])
+        )
+        return jnp.sqrt(n2)
+    if code == 11:  # Buchdahl
+        n_ref, v1, v2, v3, wave_ref, alpha = cv[:6]
+        d = w - wave_ref
+        om = d / (1 + alpha * d)
+        return n_ref + v1 * om + v2 * om**2 + v3 * om**3
+    raise NotImplementedError(f"formula code {code} has no scalar-term form")

@@ -83,6 +83,9 @@ def _tile_rows(num_rays: int, cap: int) -> int:
 # (large tiles amortize per-step DMA setup: 64->512 rows cut the measured
 # HBM-bound forward wall-clock ~18% on v5e; >=1024 can fail VMEM limits)
 TILE_ROWS_BWD = 64  # adjoint tile: 128 rows OOMs scoped VMEM (31.57M > 16M, r4 sweep)
+# polychromatic adjoint carries per-ray wavelength + in-kernel dispersion
+# chains: 64 rows OOMs at 18.71M/16M (r4), 32 fits
+TILE_ROWS_BWD_POLY = 32
 LANE = 128
 
 # param table columns
@@ -273,8 +276,8 @@ def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
         n_next = n_pre
     else:
         if formula is not None:
-            mvec = jnp.stack([getm(s, i) for i in range(nm)])
-            n_post = dispersion.n_formula_static(formula, mvec, w)
+            mvals = [getm(s, i) for i in range(nm)]
+            n_post = dispersion.n_formula_scalar_terms(formula, mvals, w)
         else:
             # mono mode: index is uniform across the tile — keep it 0-d so
             # u = n_pre/n_post is a scalar divide, not a per-ray one
@@ -318,8 +321,9 @@ def _chain(spec, getp, getc, getm, x, y, z, L, M, N, i, opd, w=None):
     else:
         if refl[0]:
             raise ValueError("object surface cannot be reflective")
-        mvec0 = jnp.stack([getm(0, i_) for i_ in range(nm)])
-        n0 = dispersion.n_formula_static(formulas[0], mvec0, w)
+        n0 = dispersion.n_formula_scalar_terms(
+            formulas[0], [getm(0, i_) for i_ in range(nm)], w
+        )
     state = (x, y, z, L, M, N, i, opd, n0, w)
     for s in range(1, S):
         state = _step_tile(
@@ -552,7 +556,10 @@ def _pallas_bwd(params, coeffs, mats, inputs, cotangents, spec, poly):
     S = len(spec[0])
     nc, nm = spec[4], spec[7]
     rows_dp = _dp_rows(spec, poly)
-    tile = _tile_rows(inputs[0].shape[0], TILE_ROWS_BWD)
+    tile = _tile_rows(
+        inputs[0].shape[0],
+        TILE_ROWS_BWD_POLY if poly else TILE_ROWS_BWD,
+    )
     arrs, R = _pad_ray_arrays(
         list(inputs) + list(cotangents), tile,
         ones_idx=(5, 8) if poly else (5,),

@@ -115,3 +115,42 @@ def test_padded_coefficients_shape_consistent():
     a = IdealMaterial(1.5).padded_coefficients
     b = Material("N-BK7").padded_coefficients
     assert a.shape == b.shape  # all materials pad to a common width
+
+
+@pytest.mark.parametrize("code", list(range(10)) + [11])
+def test_scalar_term_dispersion_matches_vectorized(code):
+    """n_formula_scalar_terms (the Pallas-kernel form: Python term loops,
+    rank-preserving ops) equals the vectorized n_formula_static for every
+    closed-form formula code."""
+    import jax.numpy as jnp
+
+    from optiland_tpu.materials import dispersion
+
+    if code == dispersion.TABULATED_N:
+        pytest.skip("tabulated data has no closed form")
+    rng = np.random.default_rng(code)
+    # benign, formula-shaped coefficients
+    base = {
+        0: [1.5],
+        1: [0.0, 1.04, 0.006, 0.23, 0.02, 1.01, 103.56],
+        2: [0.0, 1.04, 0.006, 0.23, 0.02],
+        3: [2.3, 0.01, 2.0, -0.001, -2.0],
+        4: [2.3, 0.05, 1.0, 0.1, 2.0, 0.02, 1.0, 0.15, 2.0, 0.01, 2.0],
+        5: [1.45, 0.004, -2.0, 0.0001, -4.0],
+        6: [0.0, 0.0002, 57.4, 0.00001, 30.0],
+        7: [1.6, 0.02, 0.001, 0.005, -0.0001],
+        8: [0.4, 0.2, 0.03, -0.004],
+        9: [2.0, 0.3, 0.05, 0.1, 0.2, 0.4],
+        11: [1.52, -0.01, 0.002, -0.0005, 0.5876, 2.5],
+    }[code]
+    w = jnp.asarray(np.linspace(0.4, 0.8, 7))
+    coeffs = dispersion.pad_coeffs(np.asarray(base, float)) if hasattr(
+        dispersion, "pad_coeffs"
+    ) else jnp.zeros(dispersion.MAX_COEFFS).at[: len(base)].set(
+        jnp.asarray(base)
+    )
+    ref = np.asarray(dispersion.n_formula_static(code, coeffs, w))
+    got = np.asarray(dispersion.n_formula_scalar_terms(
+        code, [coeffs[i] for i in range(coeffs.shape[0])], w
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
