@@ -86,6 +86,9 @@ TILE_ROWS_BWD = 64  # adjoint tile: 128 rows OOMs scoped VMEM (31.57M > 16M, r4 
 # polychromatic adjoint carries per-ray wavelength + in-kernel dispersion
 # chains: 64 rows OOMs at 18.71M/16M (r4), 32 fits
 TILE_ROWS_BWD_POLY = 32
+# under shard_map the adjoint gets extra VMEM overhead: 64 rows OOMs at
+# 17.35M/16M (r4, BENCH_MESH=1), 32 fits
+TILE_ROWS_BWD_SHARDED = 32
 LANE = 128
 
 # param table columns
@@ -551,14 +554,15 @@ def _make_bwd_kernel(spec, poly, tile_rows):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "poly"))
-def _pallas_bwd(params, coeffs, mats, inputs, cotangents, spec, poly):
+@functools.partial(jax.jit, static_argnames=("spec", "poly", "bwd_tile"))
+def _pallas_bwd(params, coeffs, mats, inputs, cotangents, spec, poly,
+                bwd_tile=None):
     S = len(spec[0])
     nc, nm = spec[4], spec[7]
     rows_dp = _dp_rows(spec, poly)
     tile = _tile_rows(
         inputs[0].shape[0],
-        TILE_ROWS_BWD_POLY if poly else TILE_ROWS_BWD,
+        bwd_tile or (TILE_ROWS_BWD_POLY if poly else TILE_ROWS_BWD),
     )
     arrs, R = _pad_ray_arrays(
         list(inputs) + list(cotangents), tile,
@@ -1328,7 +1332,7 @@ def _poly_param_table(system):
     )
 
 
-def _run_fast(system, rays, params, poly, newton_iters):
+def _run_fast(system, rays, params, poly, newton_iters, bwd_tile=None):
     from optiland_tpu.core.rays import RealRays
 
     spec = _spec_of(system, newton_iters, poly)
@@ -1361,7 +1365,7 @@ def _run_fast(system, rays, params, poly, newton_iters):
         params, coeffs, mats, ray_in = res
         ray_grads, dparams, dcoeffs, dmats = _pallas_bwd(
             params, coeffs, mats, tuple(ray_in), tuple(g),
-            spec=spec, poly=poly,
+            spec=spec, poly=poly, bwd_tile=bwd_tile,
         )
         # kernel grads cover only the true nc/nm columns; pad to block width
         if dcoeffs.shape != coeffs.shape:
@@ -1386,17 +1390,20 @@ def _run_fast(system, rays, params, poly, newton_iters):
     return RealRays(x=x, y=y, z=z, L=L, M=M, N=N, i=i, w=rays.w, opd=opd)
 
 
-def trace_fast(system, rays, wavelength, newton_iters: int = 10):
+def trace_fast(system, rays, wavelength, newton_iters: int = 10,
+               bwd_tile: int | None = None):
     """Fused Pallas trace, monochromatic (final state only; f32 recommended).
 
     Equivalent to optiland_tpu.core.trace.trace(..., record=False) for
     supported systems; jax.grad runs the fused backward kernel. params/
     coeffs are plain differentiable functions of the stack, so outer AD
     composes their VJP with the kernel's custom VJP automatically.
+    ``bwd_tile`` overrides the adjoint tile height (shard_map callers use
+    TILE_ROWS_BWD_SHARDED — the wrapped kernel gets less scoped VMEM).
     """
     params = build_param_table(system, wavelength)
     return _run_fast(system, rays, params, poly=False,
-                     newton_iters=newton_iters)
+                     newton_iters=newton_iters, bwd_tile=bwd_tile)
 
 
 def trace_fast_poly(system, rays, newton_iters: int = 10):

@@ -52,7 +52,12 @@ def trace_fast_sharded(system, rays, wavelength, mesh=None,
         )
 
     def local(sys_, rays_):
-        return trace_fast(sys_, rays_, wavelength, newton_iters=newton_iters)
+        from optiland_tpu.ops.pallas_trace import TILE_ROWS_BWD_SHARDED
+
+        return trace_fast(
+            sys_, rays_, wavelength, newton_iters=newton_iters,
+            bwd_tile=TILE_ROWS_BWD_SHARDED,
+        )
 
     fn = _shard_map(
         local,
