@@ -681,3 +681,169 @@ class ViewerPanelModel:
 
     def set_fields(self, which):
         self.settings["fields"] = which
+
+
+# ---------------------------------------------------------------------------
+# Optimization panel
+# ---------------------------------------------------------------------------
+
+
+class OptimizationPanelModel:
+    """Headless optimization-panel logic: typed operand/variable rows with
+    schema validation, merit-definition save/load, problem building, an
+    async run with live merit history and cancel, and the pandas report
+    tables as text (reference: optiland_gui/optimization_panel.py,
+    1,257 LoC + services/optimization_service.py)."""
+
+    RAY_INPUT_KEYS = ("Hx", "Hy", "Px", "Py", "wavelength", "num_rays",
+                      "distribution", "surface_number")
+
+    def __init__(self, connector):
+        self.c = connector
+        self.svc = connector.optimization
+        self.operands: list[dict] = []
+        self.variables: list[dict] = []
+        self.merit_history: list[float] = []
+        self.worker = None
+
+    # ---------------- schemas ----------------
+
+    @staticmethod
+    def operand_types() -> list[str]:
+        from optiland_tpu.optimization.operands import OPERAND_REGISTRY
+
+        return sorted(OPERAND_REGISTRY)
+
+    @staticmethod
+    def variable_types() -> list[str]:
+        from optiland_tpu.optimization.variables import _BEHAVIORS
+
+        return sorted(_BEHAVIORS)
+
+    @staticmethod
+    def operand_input_keys(name: str) -> tuple:
+        """The operand function's own keyword names (what the per-type
+        editor should offer), introspected from the registry."""
+        import inspect
+
+        from optiland_tpu.optimization.operands import OPERAND_REGISTRY
+
+        fn = OPERAND_REGISTRY[name]
+        params = list(inspect.signature(fn).parameters)[1:]  # drop system
+        return tuple(params)
+
+    # ---------------- rows ----------------
+
+    def add_operand(self, op_type: str, target=None, min_val=None,
+                    max_val=None, weight: float = 1.0, **input_data):
+        if op_type not in self.operand_types():
+            raise ValueError(f"unknown operand type {op_type!r}")
+        allowed = set(self.operand_input_keys(op_type))
+        if {"Px", "Py"} & allowed:
+            # the Operand wrapper compiles distribution specs into pupil
+            # arrays (optimization/operands.py:362-366)
+            allowed |= {"num_rays", "distribution"}
+        bad = set(input_data) - allowed
+        if bad:
+            raise ValueError(
+                f"operand {op_type!r} does not accept {sorted(bad)}; "
+                f"valid inputs: {sorted(allowed)}"
+            )
+        if target is None and min_val is None and max_val is None:
+            raise ValueError("operand needs a target or min/max bounds")
+        self.operands.append({
+            "type": op_type, "target": target, "min_val": min_val,
+            "max_val": max_val, "weight": weight, **input_data,
+        })
+        return len(self.operands) - 1
+
+    def add_variable(self, var_type: str, **kwargs):
+        if var_type not in self.variable_types():
+            raise ValueError(f"unknown variable type {var_type!r}")
+        self.variables.append({"type": var_type, **kwargs})
+        return len(self.variables) - 1
+
+    def remove_operand(self, idx: int):
+        self.operands.pop(idx)
+
+    def remove_variable(self, idx: int):
+        self.variables.pop(idx)
+
+    # ---------------- merit definition persistence ----------------
+
+    def to_dict(self) -> dict:
+        return {"operands": list(self.operands),
+                "variables": list(self.variables)}
+
+    def from_dict(self, data: dict):
+        self.operands = [dict(o) for o in data.get("operands", [])]
+        self.variables = [dict(v) for v in data.get("variables", [])]
+
+    def save(self, path: str):
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(self.to_dict(), fh, indent=1)
+        return path
+
+    def load(self, path: str):
+        import json
+
+        with open(path) as fh:
+            self.from_dict(json.load(fh))
+
+    # ---------------- build / evaluate / run ----------------
+
+    def build(self):
+        ops = []
+        for o in self.operands:
+            spec = {k: v for k, v in o.items() if v is not None}
+            ops.append(spec)
+        return self.svc.build_problem(ops, self.variables)
+
+    def current_merit(self) -> float:
+        p = self.svc.problem or self.build()
+        return float(p.sum_squared())
+
+    def run_async(self, optimizer: str = "generic", on_progress=None,
+                  **kwargs):
+        """Start the optimizer on a worker thread; per-iteration merits
+        stream into ``merit_history`` (and ``on_progress``)."""
+        from optiland_tpu.services.gui_support import OptimizationWorker
+
+        self.build()
+        self.merit_history = []
+
+        def progress(p):
+            self.merit_history.append(p.merit)
+            if on_progress is not None:
+                on_progress(p)
+
+        self.worker = OptimizationWorker(self.svc, on_progress=progress)
+        self.worker.start(optimizer=optimizer, **kwargs)
+        return self.worker
+
+    def cancel(self):
+        if self.worker is not None:
+            self.worker.cancel()
+
+    # ---------------- reporting ----------------
+
+    def _info_text(self, which: str) -> str:
+        import io
+        from contextlib import redirect_stdout
+
+        p = self.svc.problem or self.build()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            getattr(p, which)(show=True)
+        return buf.getvalue()
+
+    def operand_info_text(self) -> str:
+        return self._info_text("operand_info")
+
+    def variable_info_text(self) -> str:
+        return self._info_text("variable_info")
+
+    def merit_info_text(self) -> str:
+        return self._info_text("merit_info")

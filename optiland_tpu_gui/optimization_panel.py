@@ -15,8 +15,10 @@ from __future__ import annotations
 import traceback
 
 from optiland_tpu.services.gui_support import OptimizationWorker
+from optiland_tpu.services.view_models import OptimizationPanelModel
 
 from optiland_tpu_gui.qt import (
+    QFileDialog,
     QComboBox,
     QHBoxLayout,
     QLabel,
@@ -53,6 +55,8 @@ class OptimizationPanel(QWidget):
         super().__init__(parent)
         self.connector = connector
         self.svc = connector.optimization
+        core = getattr(connector, "core", connector)
+        self.model = OptimizationPanelModel(core)
         self.worker: OptimizationWorker | None = None
         self._merits: list[float] = []
 
@@ -61,8 +65,22 @@ class OptimizationPanel(QWidget):
 
         btn_add_op = QPushButton("Add Operand", self)
         btn_add_var = QPushButton("Add Variable", self)
-        btn_add_op.clicked.connect(lambda: self._add_row(self.operand_table))
-        btn_add_var.clicked.connect(lambda: self._add_row(self.variable_table))
+        btn_add_op.clicked.connect(
+            lambda: self._add_row(
+                self.operand_table, self.model.operand_types()
+            )
+        )
+        btn_add_var.clicked.connect(
+            lambda: self._add_row(
+                self.variable_table, self.model.variable_types()
+            )
+        )
+        self.save_btn = QPushButton("Save Merit", self)
+        self.save_btn.clicked.connect(self._save_merit)
+        self.load_btn = QPushButton("Load Merit", self)
+        self.load_btn.clicked.connect(self._load_merit)
+        self.report_btn = QPushButton("Tables", self)
+        self.report_btn.clicked.connect(self._show_tables)
 
         self.optimizer_combo = QComboBox(self)
         self.optimizer_combo.addItems(list(OPTIMIZERS))
@@ -97,6 +115,9 @@ class OptimizationPanel(QWidget):
         row.addWidget(self.run_btn)
         row.addWidget(self.cancel_btn)
         row.addWidget(self.undo_btn)
+        row.addWidget(self.save_btn)
+        row.addWidget(self.load_btn)
+        row.addWidget(self.report_btn)
         row.addWidget(self.status)
         layout.addLayout(row)
         layout.addWidget(self.canvas)
@@ -107,12 +128,22 @@ class OptimizationPanel(QWidget):
 
     # ---------------- table helpers ----------------
 
-    @staticmethod
-    def _add_row(table):
+    def _add_row(self, table, type_choices=None):
         r = table.rowCount()
         table.insertRow(r)
         for c in range(table.columnCount()):
             table.setItem(r, c, QTableWidgetItem(""))
+        if type_choices:
+            combo = QComboBox(table)
+            combo.setEditable(True)
+            combo.addItems(list(type_choices))
+            table.setCellWidget(r, 0, combo)
+
+    def _type_at(self, table, r):
+        w = table.cellWidget(r, 0)
+        if w is not None:
+            return w.currentText().strip()
+        return self._cell(table, r, 0)
 
     @staticmethod
     def _cell(table, r, c, default=""):
@@ -122,7 +153,7 @@ class OptimizationPanel(QWidget):
     def _operand_specs(self):
         specs = []
         for r in range(self.operand_table.rowCount()):
-            typ = self._cell(self.operand_table, r, 0)
+            typ = self._type_at(self.operand_table, r)
             if not typ:
                 continue
             spec = {"type": typ}
@@ -145,7 +176,7 @@ class OptimizationPanel(QWidget):
     def _variable_specs(self):
         specs = []
         for r in range(self.variable_table.rowCount()):
-            typ = self._cell(self.variable_table, r, 0)
+            typ = self._type_at(self.variable_table, r)
             if not typ:
                 continue
             spec = {"type": typ}
@@ -224,6 +255,64 @@ class OptimizationPanel(QWidget):
             except Exception as err:
                 self.log.appendPlainText(f"{type(err).__name__}: {err}")
         self.connector.opticChanged.emit()
+
+    # ---------------- merit persistence / reports ----------------
+
+    def _sync_model(self):
+        self.model.operands = self._operand_specs()
+        self.model.variables = self._variable_specs()
+
+    def _save_merit(self):
+        path, _ = QFileDialog.getSaveFileName(
+            self, "Save merit definition", "merit.json", "JSON (*.json)"
+        )
+        if path:
+            self._sync_model()
+            self.model.save(path)
+            self.log.appendPlainText(f"saved {path}")
+
+    def _load_merit(self):
+        path, _ = QFileDialog.getOpenFileName(
+            self, "Load merit definition", "", "JSON (*.json)"
+        )
+        if not path:
+            return
+        self.model.load(path)
+        self.operand_table.setRowCount(0)
+        self.variable_table.setRowCount(0)
+        for o in self.model.operands:
+            self._add_row(self.operand_table, self.model.operand_types())
+            r = self.operand_table.rowCount() - 1
+            self.operand_table.cellWidget(r, 0).setCurrentText(o["type"])
+            if o.get("target") is not None:
+                self.operand_table.item(r, 1).setText(str(o["target"]))
+            self.operand_table.item(r, 2).setText(str(o.get("weight", 1.0)))
+            extra = ",".join(
+                f"{k}={v}" for k, v in o.items()
+                if k not in ("type", "target", "weight", "min_val",
+                             "max_val")
+            )
+            self.operand_table.item(r, 3).setText(extra)
+        for v in self.model.variables:
+            self._add_row(self.variable_table, self.model.variable_types())
+            r = self.variable_table.rowCount() - 1
+            self.variable_table.cellWidget(r, 0).setCurrentText(v["type"])
+            if "surface_number" in v:
+                self.variable_table.item(r, 1).setText(
+                    str(v["surface_number"])
+                )
+        self.log.appendPlainText(f"loaded {path}")
+
+    def _show_tables(self):
+        try:
+            self.svc.build_problem(
+                self._operand_specs(), self._variable_specs()
+            )
+            self.log.appendPlainText(self.model.operand_info_text())
+            self.log.appendPlainText(self.model.variable_info_text())
+            self.log.appendPlainText(self.model.merit_info_text())
+        except Exception as err:
+            self.log.appendPlainText(f"{type(err).__name__}: {err}")
 
     def _draw_curve(self):
         self.figure.clear()

@@ -384,3 +384,70 @@ class TestViewerPanelModel:
             m.set_distribution("spiral")
         m.set_num_rays(0)
         assert m.settings["num_rays"] == 1
+
+
+class TestOptimizationPanelModel:
+    def _model(self, conn):
+        from optiland_tpu.services.view_models import OptimizationPanelModel
+
+        return OptimizationPanelModel(conn)
+
+    def test_schemas(self, conn):
+        m = self._model(conn)
+        assert "rms_spot_size" in m.operand_types()
+        assert "f2" in m.operand_types()
+        assert "radius" in m.variable_types()
+        keys = m.operand_input_keys("rms_spot_size")
+        assert "Hx" in keys and "wavelength" in keys
+
+    def test_row_validation(self, conn):
+        m = self._model(conn)
+        with pytest.raises(ValueError, match="unknown operand"):
+            m.add_operand("not_an_operand", target=0.0)
+        with pytest.raises(ValueError, match="does not accept"):
+            m.add_operand("f2", target=50.0, bogus=1)
+        with pytest.raises(ValueError, match="target or min/max"):
+            m.add_operand("f2")
+        with pytest.raises(ValueError, match="unknown variable"):
+            m.add_variable("not_a_var", surface_number=1)
+
+    def test_build_and_merit(self, conn):
+        m = self._model(conn)
+        m.add_operand("f2", target=50.0, weight=1.0)
+        m.add_operand("rms_spot_size", target=0.0, weight=1.0,
+                      Hx=0.0, Hy=0.0, num_rays=5, wavelength=0.55,
+                      distribution="hexapolar")
+        m.add_variable("radius", surface_number=1)
+        p = m.build()
+        merit0 = m.current_merit()
+        assert np.isfinite(merit0) and merit0 >= 0
+        assert "f2" in m.operand_info_text()
+        assert "radius" in m.variable_info_text()
+        assert m.merit_info_text()
+
+    def test_save_load_roundtrip(self, conn, tmp_path):
+        m = self._model(conn)
+        m.add_operand("f2", target=50.0)
+        m.add_variable("radius", surface_number=2)
+        path = m.save(str(tmp_path / "merit.json"))
+        m2 = self._model(conn)
+        m2.load(path)
+        assert m2.operands == m.operands
+        assert m2.variables == m.variables
+        m2.remove_operand(0)
+        m2.remove_variable(0)
+        assert m2.operands == [] and m2.variables == []
+
+    def test_async_run_with_history(self, conn):
+        m = self._model(conn)
+        # perturb so there is something to optimize
+        conn.surfaces.set_surface_data(1, 2, 24.0)
+        m.add_operand("f2", target=50.0, weight=1.0)
+        m.add_variable("radius", surface_number=1)
+        ticks = []
+        w = m.run_async("generic", on_progress=ticks.append,
+                        maxiter=10, disp=False)
+        w.join(timeout=120)
+        assert not w.running
+        assert len(m.merit_history) >= 1
+        assert m.current_merit() <= m.merit_history[0] + 1e-9
