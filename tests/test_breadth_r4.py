@@ -399,3 +399,21 @@ def test_operand_evaluates_finite(cooke_sys, name):
     arr = np.ravel(np.asarray(val))
     assert arr.size >= 1
     assert np.isfinite(arr).all(), f"{name} -> {arr}"
+
+
+def test_rms_spot_all_wavelengths_operand(cooke_sys):
+    """The all-wavelengths RMS-spot operand (centroid at the primary)
+    evaluates finite and exceeds any single-wavelength spot
+    (reference: operand/ray.py wavelength='all')."""
+    from optiland_tpu.optimization.operands import (
+        rms_spot_size, rms_spot_size_all_wavelengths,
+    )
+
+    Px = jnp.linspace(-0.6, 0.6, 8)
+    Py = jnp.zeros(8)
+    all_wl = float(rms_spot_size_all_wavelengths(
+        cooke_sys, 0.0, 0.7, Px, Py
+    ))
+    primary = float(rms_spot_size(cooke_sys, 0.0, 0.7, Px, Py, 0.55))
+    assert np.isfinite(all_wl) and all_wl > 0
+    assert all_wl >= primary - 1e-12
