@@ -161,3 +161,41 @@ def test_webgl_export_mirror_system():
     )
     assert any(m["kind"] == "mirror" for m in scene["meshes"])
     assert any(m["info"]["reflective"] for m in scene["meshes"])
+
+
+def test_webgl_export_tilted_and_grating_scene():
+    """Tilted surfaces and grating systems export valid interactive
+    scenes (decentered meshes keep finite vertices; info carries the
+    surface type)."""
+    import json
+    import math
+    import re
+
+    import numpy as np
+
+    from optiland_tpu.optic import Optic
+    from optiland_tpu.visualization import OpticViewer3DHTML
+
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    o.surfaces.add(index=1, radius=40.0, thickness=5.0, material="N-BK7",
+                   is_stop=True, rx=np.radians(2.0), dy=0.5)
+    o.surfaces.add(index=2, radius=-40.0, thickness=5.0)
+    o.surfaces.add(index=3, surface_type="grating", thickness=25.0,
+                   grating_order=1, grating_period=8.0,
+                   groove_orientation_angle=0.1)
+    o.surfaces.add(index=4)
+    o.set_aperture("EPD", 10.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.wavelengths.add(0.55, is_primary=True)
+
+    html = OpticViewer3DHTML(o).to_html(num_rays=6)
+    scene = json.loads(
+        re.search(r"const SCENE = (\{.*?\});\n", html, re.S).group(1)
+    )
+    assert scene["rays"], "grating system traced no rays into the scene"
+    for mesh in scene["meshes"]:
+        assert all(math.isfinite(v) for v in mesh["v"][:30])
+    types = {m["info"]["type"] for m in scene["meshes"]}
+    assert "standard" in types
