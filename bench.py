@@ -144,7 +144,116 @@ def _build_variant(name):
     return o, None
 
 
+def bench_huygens():
+    """Huygens-Fresnel summation kernel throughput (the reference's #1
+    native hot spot: the Numba-parallel O(P x Q) wavelet loop,
+    psf/huygens_fresnel_strategies.py:64-175). Metric: pairwise wavelet
+    terms per second, forward and forward+adjoint (both Pallas kernels,
+    ops/pallas_huygens.py). vs_baseline compares against the reference's
+    summation class measured on this host's CPU with torch tensor math
+    (tools/measure_huygens_ref.py) — numba is not installed here, and the
+    torch path is the reference's fastest CPU strategy."""
+    from optiland_tpu.ops.pallas_huygens import huygens_field_pallas
+
+    # Reference-class rate measured on this host (tools/measure_huygens_ref
+    # .py, 2026-08-20): torch CPU chunked pairwise summation.
+    baseline = HUYGENS_BASELINE_TERMS_PER_S
+
+    P = int(os.environ.get("BENCH_HUYGENS_IMG", 16_384))   # 128x128 image
+    Q = int(os.environ.get("BENCH_HUYGENS_PUP", 65_536))   # pupil points
+    wavelength_mm = 0.55e-3
+    Rp = 100.0
+    a = 10.0
+    rng = np.random.default_rng(0)
+    r = a * np.sqrt(rng.uniform(size=Q))
+    th = rng.uniform(0, 2 * np.pi, size=Q)
+    px = jnp.asarray(r * np.cos(th), jnp.float32)
+    py = jnp.asarray(r * np.sin(th), jnp.float32)
+    pz = -jnp.sqrt(Rp**2 - px**2 - py**2)
+    amp = jnp.ones((Q,), jnp.float32)
+    opd = jnp.zeros((Q,), jnp.float32)
+    g = np.linspace(-0.05, 0.05, int(np.sqrt(P))).astype(np.float32)
+    IX, IY = np.meshgrid(g, g)
+    ix = jnp.asarray(IX.ravel())
+    iy = jnp.asarray(IY.ravel())
+    iz = jnp.zeros_like(ix)
+
+    def energy(ix, opd, amp):
+        E = huygens_field_pallas(
+            ix, iy, iz, px, py, pz, amp, opd, wavelength_mm, Rp
+        )
+        return jnp.sum(jnp.real(E) ** 2 + jnp.imag(E) ** 2)
+
+    @jax.jit
+    def fwd_loop(opd0):
+        def body(i, acc):
+            return acc + energy(ix, opd0 + 1e-9 * i, amp)
+
+        return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
+
+    @jax.jit
+    def fwdbwd_loop(opd0):
+        # grads w.r.t. an image array AND two pupil arrays: exercises both
+        # adjoint kernels (resident-image and resident-pupil)
+        def body(i, carry):
+            v_acc, g_acc = carry
+            v, grads = jax.value_and_grad(energy, argnums=(0, 1, 2))(
+                ix, opd0 + 1e-9 * i, amp
+            )
+            return v_acc + v, jax.tree.map(jnp.add, g_acc, grads)
+
+        g0 = (jnp.zeros_like(ix), jnp.zeros_like(opd), jnp.zeros_like(amp))
+        return jax.lax.fori_loop(0, INNER, body, (jnp.float32(0.0), g0))
+
+    jax.block_until_ready(fwd_loop(opd))
+    jax.block_until_ready(fwdbwd_loop(opd))
+
+    def timed(fn):
+        ts = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(opd))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) / INNER
+
+    t_fwd = timed(fwd_loop)
+    t_fwdbwd = timed(fwdbwd_loop)
+    terms = float(P) * float(Q)
+    print(
+        json.dumps(
+            {
+                "metric": "pairwise_terms_per_sec_fwdbwd_huygens",
+                "value": terms / t_fwdbwd,
+                "unit": "terms/s",
+                "vs_baseline": terms / t_fwdbwd / baseline,
+                "extra": {
+                    "fwd_only": terms / t_fwd,
+                    "image_points": P,
+                    "pupil_points": Q,
+                    "t_fwdbwd_s": t_fwdbwd,
+                    "t_fwd_s": t_fwd,
+                    "kernel": "pallas-huygens",
+                    "system": "huygens",
+                    "baseline_terms_per_s": baseline,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+# Reference-class Huygens summation rate on this host's CPU (torch chunked
+# pairwise math, the reference's fastest non-numba strategy; measured by
+# tools/measure_huygens_ref.py on 2026-08-20).
+HUYGENS_BASELINE_TERMS_PER_S = float(
+    os.environ.get("BENCH_HUYGENS_BASELINE", 2.6e8)
+)
+
+
 def main():
+    if BENCH_SYSTEM == "huygens":
+        bench_huygens()
+        return
     lens, pol_state = _build_variant(BENCH_SYSTEM)
     system = lens.system
     num_traced_surfaces = system.cfg.num_surfaces - 1
@@ -159,7 +268,8 @@ def main():
 
     # Fused generate+trace kernel: launch state built in-kernel from 8 SMEM
     # scalars, so the only per-ray HBM input is the pupil sample pair.
-    use_field = use_pallas and pallas_field_supported(system) and not MESH_N
+    field_ok = use_pallas and pallas_field_supported(system)
+    use_field = field_ok and not MESH_N
 
     def gen_pupil(key):
         k1, k2 = jax.random.split(key)
@@ -230,9 +340,12 @@ def main():
     # Fused merit path (cooke headline): pupil PRNG, trace, and the
     # RMS-spot reduction all run inside the Pallas kernels with zero
     # per-ray HBM traffic; the backward builds cotangents in-kernel from
-    # the centroid scalars (ops/pallas_trace.spot_rms_fast_field).
+    # the centroid scalars (ops/pallas_trace.spot_rms_fast_field). Under
+    # BENCH_MESH the same kernels run per shard with an all_gather of the
+    # per-tile Chan stats and psum'd parameter cotangents — O(tiles), not
+    # O(rays), of ICI traffic per step.
     use_merit = (
-        use_field and not use_poly
+        field_ok and not use_poly
         and os.environ.get("BENCH_FUSED", "1") == "1"
     )
 
@@ -240,6 +353,15 @@ def main():
         from optiland_tpu.ops.pallas_trace import spot_rms_fast_field
 
         sys_ = system.replace(stack=stack)
+        if mesh is not None:
+            from optiland_tpu.parallel.sharded_trace import (
+                spot_rms_fast_field_sharded,
+            )
+
+            return spot_rms_fast_field_sharded(
+                sys_, 0.0, 0.7, WAVELENGTH, num_rays=NUM_RAYS, seed=seed,
+                mesh=mesh,
+            )
         return spot_rms_fast_field(
             sys_, 0.0, 0.7, WAVELENGTH, num_rays=NUM_RAYS, seed=seed
         )
@@ -316,8 +438,10 @@ def main():
                     "kernel": (
                         "pallas-pol" if use_pol
                         else "pallas-poly" if use_poly
+                        else "pallas-merit-sharded" if use_merit and MESH_N
                         else "pallas-merit" if use_merit
                         else "pallas-field" if use_field
+                        else "pallas-sharded" if use_pallas and MESH_N
                         else "pallas" if use_pallas else "xla"
                     ),
                     "system": BENCH_SYSTEM,

@@ -183,8 +183,11 @@ def _surface_step(stack, cfg, s, pos_s, state):
             gz = nx * ty - ny * tx
             gmag = jnp.sqrt(gx**2 + gy**2 + gz**2)
             fx, fy, fz = -gx / gmag, -gy / gmag, -gz / gmag
-        # projection-corrected period (reference: diffractive_model.py:51-52)
-        d_eff = d / jnp.sqrt(fx**2 + fy**2)
+        # projection-corrected period (reference: diffractive_model.py:51-52).
+        # The transverse norm is clamped: a groove vector with no transverse
+        # component (f along z) would otherwise divide by zero and NaN the
+        # whole bundle (and, through the shared VJP, every parameter grad).
+        d_eff = d / jnp.sqrt(jnp.maximum(fx**2 + fy**2, 1e-12))
         n_post = (
             n_pre if cfg.reflective[s]
             else n_of(cfg.mat_formulas[s], stack.mat_coeffs[s], stack.ntab[s], w)
@@ -266,11 +269,12 @@ def _surface_step(stack, cfg, s, pos_s, state):
 _ENGINE_MODES = ("auto", "unrolled", "scan")
 # Measured on this host (tools/measure_scan_threshold.py, table in
 # docs/PROFILE.md): unrolled XLA compile grows ~0.5 s/surface while the
-# scan engine compiles in a flat ~0.5 s with equal-or-better runtime from
-# 8 surfaces up and a sub-ms penalty below that. 4 = effectively "always
-# scan when supported" (every real system has >= 3 surfaces); the TPU hot
-# path is unaffected (Pallas dispatch precedes engine selection).
-_AUTO_SCAN_MIN_SURFACES = 4
+# scan engine compiles in a flat ~0.5 s, with scan RUNTIME equal-or-better
+# only from 8 surfaces up (2.3x slower at 6 surfaces on cached-compile
+# workloads). 8 is therefore the argmin of the committed table for both
+# regimes; the TPU hot path is unaffected (Pallas dispatch precedes engine
+# selection).
+_AUTO_SCAN_MIN_SURFACES = 8
 
 
 def _engine_mode() -> str:
@@ -325,7 +329,9 @@ def trace(system: System, rays: RealRays, record: bool = True, key=None,
     ):
         from optiland_tpu.ops import pallas_pol, pallas_trace
 
-        if cfg.polarized and pallas_pol.pallas_pol_supported(system):
+        if cfg.polarized and pallas_pol.pallas_pol_supported(
+            system, float(wavelength)
+        ):
             out, p = pallas_pol.trace_fast_pol(
                 system, rays, float(wavelength)
             )

@@ -652,7 +652,7 @@ def _assemble_p(p_flat):
     ).reshape(p_flat[0].shape[0], 3, 3)
 
 
-def _coat_kinds(system):
+def _coat_kinds(system, wavelength=None):
     from optiland_tpu.coatings import (
         FresnelCoating,
         PolarizerCoating,
@@ -674,7 +674,7 @@ def _coat_kinds(system):
         elif type(c) is RetarderCoating:
             kinds.append("retarder")
         elif type(c) is ThinFilmCoating and _tmm_eligible(
-            c.stack, system
+            c.stack, system, wavelength
         ):
             kinds.append(("tmm", len(c.stack.layers)))
         else:
@@ -682,15 +682,20 @@ def _coat_kinds(system):
     return tuple(kinds)
 
 
-def _tmm_eligible(stack, system) -> bool:
+def _tmm_eligible(stack, system, wavelength=None) -> bool:
     """True when the stack's TMM reduces to the in-kernel real-index form
-    at the system's primary wavelength: every medium absorption-free and
-    min(n_layer, n_substrate) >= n_incident (no internal evanescent waves
-    at any real incidence)."""
+    at the given wavelength (default: the system's primary line): every
+    medium absorption-free and min(n_layer, n_substrate) >= n_incident (no
+    internal evanescent waves at any real incidence). Eligibility is
+    checked at the ACTUAL trace wavelength by trace_fast_pol — a dispersive
+    stack that turns absorbing away from the primary line must fall back
+    to the XLA path, not silently drop its imaginary part in-kernel."""
     import numpy as _np
 
     try:
-        wl = float(system.primary_wavelength)
+        wl = float(
+            system.primary_wavelength if wavelength is None else wavelength
+        )
     except (TypeError, jax.errors.TracerArrayConversionError):
         return False
     try:
@@ -711,8 +716,10 @@ def _tmm_eligible(stack, system) -> bool:
     return all(n.real >= n0 * 1.0001 for n in ns_c[1:])
 
 
-def pallas_pol_supported(system) -> bool:
-    """True when trace_fast_pol covers this system's structure."""
+def pallas_pol_supported(system, wavelength=None) -> bool:
+    """True when trace_fast_pol covers this system's structure. Pass the
+    trace ``wavelength`` so TMM-coating eligibility is judged where the
+    stack will actually be evaluated (absorption can be dispersive)."""
     from optiland_tpu.physical_apertures import RadialAperture
 
     cfg = system.cfg
@@ -727,7 +734,7 @@ def pallas_pol_supported(system) -> bool:
         return False
     if cfg.bsdfs is not None and any(b is not None for b in cfg.bsdfs):
         return False
-    if "unsupported" in _coat_kinds(system):
+    if "unsupported" in _coat_kinds(system, wavelength):
         return False
     return all(c in OK_CODES for c in cfg.geom_codes)
 
@@ -741,7 +748,7 @@ def build_coat_table(system, wavelength):
     cfg = system.cfg
     S = cfg.num_surfaces
     dt = system.stack.radius.dtype
-    kinds = _coat_kinds(system)
+    kinds = _coat_kinds(system, wavelength)
     ncoat = _ncoat_of(kinds)
     rows = []
     for s in range(S):
@@ -809,7 +816,13 @@ def trace_fast_pol(system, rays, wavelength, newton_iters: int = 10):
     from optiland_tpu.core.rays import RealRays
 
     spec = _spec_of(system, newton_iters, poly=False)
-    coat_kinds = _coat_kinds(system)
+    coat_kinds = _coat_kinds(system, wavelength)
+    if "unsupported" in coat_kinds:
+        raise ValueError(
+            "trace_fast_pol: a coating is not kernel-eligible at this "
+            "trace wavelength (e.g. a ThinFilm stack absorbing away from "
+            "the primary line); use the XLA trace path."
+        )
     params = build_param_table(system, wavelength)
     coat = build_coat_table(system, wavelength)
 
@@ -880,7 +893,12 @@ def trace_fast_pol_intensity(system, rays, wavelength, state=None,
     from optiland_tpu.core.rays import RealRays
 
     spec = _spec_of(system, newton_iters, poly=False)
-    coat_kinds = _coat_kinds(system)
+    coat_kinds = _coat_kinds(system, wavelength)
+    if "unsupported" in coat_kinds:
+        raise ValueError(
+            "trace_fast_pol_intensity: a coating is not kernel-eligible "
+            "at this trace wavelength; use the XLA trace path."
+        )
     pol_scalars = _pol_scalars_of(state)
     params = build_param_table(system, wavelength)
     coat = build_coat_table(system, wavelength)

@@ -250,7 +250,10 @@ def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
             gz = nx0 * ty - ny0 * tx
             gmag = jnp.sqrt(gx * gx + gy * gy + gz * gz)
             fx, fy, fz = -gx / gmag, -gy / gmag, -gz / gmag
-        d_eff = d / jnp.sqrt(fx * fx + fy * fy)
+        # clamped like the XLA branch: zero transverse groove component
+        # must not NaN the tile (the fused adjoint would spread it to
+        # every stack leaf)
+        d_eff = d / jnp.sqrt(jnp.maximum(fx * fx + fy * fy, 1e-12))
         n_post = n_pre if reflective else getp(s, P_NPOST)
         fn = fx * nx + fy * ny + fz * nz
         kn = adot
@@ -890,23 +893,43 @@ def trace_fast_field(system, Hx, Hy, Px, Py, wavelength,
 # ---------------------------------------------------------------------------
 
 TILE_ROWS_MERIT_BWD = 64
+# PRNG seeding unit in rows: all PRNG-mode tile heights (fwd 512, bwd
+# 64/32) are multiples, so the sample stream is tile-geometry-invariant.
+SUB_ROWS = 32
 
 
-def _prng_disk(seed0, g, shape, dtype):
-    """Uniform unit-disk samples generated in-kernel (one stream per grid
-    step): r = sqrt(u1), th = 2*pi*u2."""
-    pltpu.prng_seed(seed0, g)
-    b1 = pltpu.prng_random_bits(shape)
-    b2 = pltpu.prng_random_bits(shape)
+def _bits_to_unit(bits, dtype):
+    """Random 32-bit words -> uniform [0, 1) floats. Mosaic has no
+    uint32->f32 cast; shift as uint32 (top 24 bits, so the int32
+    reinterpretation is non-negative) and cast from int32."""
     scale = jnp.asarray(2.0 ** -24, dtype)
-    # Mosaic has no uint32->f32 cast; shift as uint32 (top 24 bits, so the
-    # int32 reinterpretation is non-negative) and cast from int32.
-    u1 = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(b1, jnp.uint32) >> 8, jnp.int32
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(bits, jnp.uint32) >> 8, jnp.int32
     ).astype(dtype) * scale
-    u2 = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(b2, jnp.uint32) >> 8, jnp.int32
-    ).astype(dtype) * scale
+
+
+def _prng_disk(seed0, sub_base, nsub, dtype):
+    """Uniform unit-disk samples, (nsub*SUB_ROWS, LANE), generated
+    in-kernel: r = sqrt(u1), th = 2*pi*u2.
+
+    The stream is keyed to the GLOBAL sub-block index (sub_base + k), not
+    the grid step, so every tile geometry regenerates identical samples:
+    the backward kernel (64/32-row tiles) reconstructs exactly the forward
+    kernel's rays (512-row tiles) — which the gradient-exactness argument
+    (sum(x - xbar) = 0 over the SAME sample set) requires — and a
+    shard_map shard launched with a sub-block offset produces the same
+    global sample set as the unsharded kernel."""
+    u1s, u2s = [], []
+    for k in range(nsub):
+        pltpu.prng_seed(seed0, sub_base + k)
+        u1s.append(
+            _bits_to_unit(pltpu.prng_random_bits((SUB_ROWS, LANE)), dtype)
+        )
+        u2s.append(
+            _bits_to_unit(pltpu.prng_random_bits((SUB_ROWS, LANE)), dtype)
+        )
+    u1 = u1s[0] if nsub == 1 else jnp.concatenate(u1s, axis=0)
+    u2 = u2s[0] if nsub == 1 else jnp.concatenate(u2s, axis=0)
     r = jnp.sqrt(u1)
     th = u2 * jnp.asarray(2.0 * np.pi, dtype)
     return r * jnp.cos(th), r * jnp.sin(th)
@@ -916,6 +939,75 @@ def _valid_mask(g, tile, R):
     rowi = jax.lax.broadcasted_iota(jnp.int32, (tile, LANE), 0)
     lanei = jax.lax.broadcasted_iota(jnp.int32, (tile, LANE), 1)
     return (g * tile * LANE + rowi * LANE + lanei) < R
+
+
+def _seed_vector(seed, sub_offset=0):
+    """(2,) i32 SMEM vector for the PRNG-mode merit kernels: [seed,
+    sub-block offset]. The offset shifts the global sub-block index —
+    shard k of an R-ray bundle passes k * R_local/(SUB_ROWS*LANE) so the
+    mesh jointly generates the identical sample set as one device."""
+    return jnp.stack([
+        jnp.asarray(seed, jnp.int32), jnp.asarray(sub_offset, jnp.int32)
+    ])
+
+
+def _chan_combine(s, R):
+    """Chan merge of per-tile (mean_x, mean_y, M2x, M2y, n) stat rows into
+    (loss, xbar, ybar), normalizing by the full ray count ``R`` (f32-safe:
+    every term is centered, no mean^2-vs-variance cancellation)."""
+    mx, my, m2x, m2y, n = (s[:, k] for k in range(5))
+    xbar = jnp.sum(n * mx) / R
+    ybar = jnp.sum(n * my) / R
+    m2 = (
+        jnp.sum(m2x) + jnp.sum(n * (mx - xbar) ** 2)
+        + jnp.sum(m2y) + jnp.sum(n * (my - ybar) ** 2)
+    )
+    return m2 / R, xbar, ybar
+
+
+def prng_pupil_samples(seed, num_rays, tile=None, sub_offset=0):
+    """Materialize the exact unit-disk pupil samples the PRNG-mode merit
+    kernels draw in-kernel (TPU only — pltpu.prng_* has no interpret-mode
+    lowering). Test/debug aid: feeding the result back through the
+    explicit-Px/Py path must reproduce the PRNG-mode loss and gradients
+    bit-for-bit, which pins the forward/backward sample-regeneration
+    contract of _prng_disk."""
+    if jax.default_backend() == "cpu":
+        raise NotImplementedError(
+            "in-kernel pupil PRNG (pltpu.prng_*) has no interpret-mode "
+            "lowering"
+        )
+    R = int(num_rays)
+    tile = tile or _tile_rows(R, TILE_ROWS_FWD)
+    if tile % SUB_ROWS:
+        raise ValueError(f"tile must be a multiple of SUB_ROWS={SUB_ROWS}")
+    rows = -(-R // (tile * LANE)) * tile
+    grid = (rows // tile,)
+    nsub = tile // SUB_ROWS
+    seed_arr = _seed_vector(seed, sub_offset)
+
+    def kernel(seed_ref, px_ref, py_ref):
+        g = pl.program_id(0)
+        Px, Py = _prng_disk(
+            seed_ref[0], seed_ref[1] + g * nsub, nsub, px_ref.dtype
+        )
+        px_ref[:] = Px
+        py_ref[:] = Py
+
+    ray_spec = pl.BlockSpec(
+        (tile, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    with mosaic_compile_ctx(False):
+        px, py = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[ray_spec, ray_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+            ] * 2,
+        )(seed_arr)
+    return px.reshape(-1)[:R], py.reshape(-1)[:R]
 
 
 def _make_merit_fwd_kernel(spec, tile, R, prng):
@@ -940,7 +1032,10 @@ def _make_merit_fwd_kernel(spec, tile, R, prng):
         geta = lambda j: aim_ref[j]
         dt = acc_ref.dtype
         if prng:
-            Px, Py = _prng_disk(seed_ref[0], g, (tile, LANE), dt)
+            nsub = tile // SUB_ROWS
+            Px, Py = _prng_disk(
+                seed_ref[0], seed_ref[1] + g * nsub, nsub, dt
+            )
         else:
             Px, Py = px_ref[:], py_ref[:]
         launch = _launch_from_pupil(geta, Px, Py)
@@ -983,7 +1078,10 @@ def _make_merit_bwd_kernel(spec, tile, R, prng, rows_dp):
         g = pl.program_id(0)
         dt = dp_ref.dtype
         if prng:
-            Px, Py = _prng_disk(seed_ref[0], g, (tile, LANE), dt)
+            nsub = tile // SUB_ROWS
+            Px, Py = _prng_disk(
+                seed_ref[0], seed_ref[1] + g * nsub, nsub, dt
+            )
         else:
             Px, Py = px_ref[:], py_ref[:]
         xbar = stats_ref[0]
@@ -1154,13 +1252,13 @@ def spot_rms_fast_field(system, Hx, Hy, wavelength, num_rays=None,
                 "lowering; pass explicit Px/Py on CPU"
             )
         R = int(num_rays)
-        seed_arr = jnp.asarray([seed], jnp.int32)
+        seed_arr = _seed_vector(seed)
         Px_in = Py_in = jnp.zeros((0,), dt)
     else:
         Px_in = jnp.asarray(Px, dt)
         Py_in = jnp.asarray(Py, dt)
         R = int(Px_in.shape[0])
-        seed_arr = jnp.zeros((1,), jnp.int32)
+        seed_arr = jnp.zeros((2,), jnp.int32)
     S = system.cfg.num_surfaces
     coeffs = system.stack.coeffs.astype(dt)
     if coeffs.shape[1] == 0:
@@ -1170,18 +1268,14 @@ def spot_rms_fast_field(system, Hx, Hy, wavelength, num_rays=None,
     aim = aim.astype(dt)
     fwd_tile = _tile_rows(R, TILE_ROWS_FWD)
     bwd_tile = bwd_tile or _tile_rows(R, TILE_ROWS_MERIT_BWD)
+    if prng and (fwd_tile % SUB_ROWS or bwd_tile % SUB_ROWS):
+        raise ValueError(
+            f"PRNG-mode tile heights must be multiples of SUB_ROWS="
+            f"{SUB_ROWS} (got fwd {fwd_tile}, bwd {bwd_tile})"
+        )
 
     def _combine(s):
-        """Chan merge of per-tile (mx, my, M2x, M2y, n) rows (f32-safe:
-        every term is centered, no mean^2-vs-variance cancellation)."""
-        mx, my, m2x, m2y, n = (s[:, k] for k in range(5))
-        xbar = jnp.sum(n * mx) / R
-        ybar = jnp.sum(n * my) / R
-        m2 = (
-            jnp.sum(m2x) + jnp.sum(n * (mx - xbar) ** 2)
-            + jnp.sum(m2y) + jnp.sum(n * (my - ybar) ** 2)
-        )
-        return m2 / R, xbar, ybar
+        return _chan_combine(s, R)
 
     @jax.custom_vjp
     def _loss(params, coeffs, aim):

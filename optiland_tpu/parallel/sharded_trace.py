@@ -69,6 +69,154 @@ def trace_fast_sharded(system, rays, wavelength, mesh=None,
     return fn(system, rays)
 
 
+def spot_rms_fast_field_sharded(system, Hx, Hy, wavelength, num_rays=None,
+                                mesh=None, seed=0, Px=None, Py=None,
+                                newton_iters: int = 10,
+                                bwd_tile: int | None = None,
+                                axis: str = "rays"):
+    """Data-parallel fused RMS-spot merit over a device mesh.
+
+    Each device runs the fused merit kernels
+    (ops/pallas_trace.spot_rms_fast_field) on its ray shard. The only
+    forward collective is an ``all_gather`` of the per-tile Chan statistic
+    rows (5 floats per 64k-ray tile); every device merges the gathered
+    rows identically, so the loss is replicated and — given the same
+    sample set — bit-identical to the unsharded kernel. The backward runs
+    the local adjoint kernel against the replicated global centroid, and
+    shard_map's transpose psums the parameter cotangents over ICI: the
+    full fwd+bwd merit step moves O(tiles) floats between devices, never
+    O(rays).
+
+    In PRNG mode (``Px is None``) each shard offsets the sub-block stream
+    by its mesh position, so the mesh jointly draws exactly the sample
+    set the unsharded kernel would draw for the same ``seed`` — sharding
+    changes the hardware, not the measurement. Explicit ``Px/Py`` are
+    split along the ray axis (used by the CPU-mesh parity tests).
+    """
+    import jax.numpy as jnp
+
+    from optiland_tpu.ops import pallas_trace as pt
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+
+    spec = pt._spec_of(system, newton_iters, poly=False)
+    params = pt.build_param_table(system, wavelength)
+    aim = pt.aim_vector(system, Hx, Hy)
+
+    prng = Px is None
+    dt = jnp.float32 if jax.default_backend() != "cpu" else (
+        jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    )
+    if prng:
+        if num_rays is None:
+            raise ValueError("num_rays is required in PRNG mode")
+        if jax.default_backend() == "cpu":
+            raise NotImplementedError(
+                "in-kernel pupil PRNG (pltpu.prng_*) has no interpret-mode "
+                "lowering; pass explicit Px/Py on CPU"
+            )
+        R = int(num_rays)
+        if R % n_dev:
+            raise ValueError(
+                f"Ray count {R} must be divisible by the mesh size {n_dev}"
+            )
+        R_local = R // n_dev
+        sub = pt.SUB_ROWS * pt.LANE
+        if R_local % sub:
+            raise ValueError(
+                f"per-shard ray count {R_local} must be a multiple of the "
+                f"PRNG sub-block ({sub} rays) so shard sample streams tile "
+                f"the unsharded stream exactly"
+            )
+        Px_in = Py_in = jnp.zeros((0,), dt)
+    else:
+        Px_in = jnp.asarray(Px, dt)
+        Py_in = jnp.asarray(Py, dt)
+        R = int(Px_in.shape[0])
+        if R % n_dev:
+            raise ValueError(
+                f"Ray count {R} must be divisible by the mesh size {n_dev}"
+            )
+        R_local = R // n_dev
+
+    S = system.cfg.num_surfaces
+    coeffs = system.stack.coeffs.astype(dt)
+    if coeffs.shape[1] == 0:
+        coeffs = jnp.zeros((S, 1), dt)
+    mats = jnp.zeros((S, 1), dt)
+    params = params.astype(dt)
+    aim = aim.astype(dt)
+    seed_base = jnp.asarray(seed, jnp.int32)
+    fwd_tile = pt._tile_rows(R_local, pt.TILE_ROWS_FWD)
+    bwd_tile = bwd_tile or pt._tile_rows(R_local, pt.TILE_ROWS_MERIT_BWD)
+    nsub_local = R_local // (pt.SUB_ROWS * pt.LANE) if prng else 0
+
+    def _seed_arr(seed_b, axis_name):
+        idx = jax.lax.axis_index(axis_name)
+        return jnp.stack([seed_b, (idx * nsub_local).astype(jnp.int32)])
+
+    # The custom_vjp sits OUTSIDE the shard_maps: forward and backward are
+    # each a standalone collective program (no reliance on shard_map
+    # transpose rules — with check_vma=False the transpose of a replicated
+    # output scales cotangents by 1/n_dev, which is wrong for this psum
+    # pattern), and the parameter cotangents are psum'd explicitly.
+    def _fwd_local(params, coeffs, aim, seed_b, Px_l, Py_l):
+        s = pt._pallas_merit_fwd(
+            params, coeffs, mats, aim, _seed_arr(seed_b, axis), Px_l, Py_l,
+            spec=spec, R=R_local, prng=prng, tile=fwd_tile,
+        )
+        s_all = jax.lax.all_gather(s, axis)
+        return pt._chan_combine(s_all.reshape(-1, s.shape[-1]), R)
+
+    def _bwd_local(params, coeffs, aim, stats, seed_b, Px_l, Py_l):
+        d = pt._pallas_merit_bwd(
+            params, coeffs, mats, aim, stats, _seed_arr(seed_b, axis),
+            Px_l, Py_l, spec=spec, R=R_local, prng=prng, tile=bwd_tile,
+        )
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.psum(a, axis), d
+        )
+
+    fwd_sm = _shard_map(
+        _fwd_local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    bwd_sm = _shard_map(
+        _bwd_local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def _loss(params, coeffs, aim):
+        return fwd_sm(params, coeffs, aim, seed_base, Px_in, Py_in)[0]
+
+    def _fwd(params, coeffs, aim):
+        loss, xbar, ybar = fwd_sm(
+            params, coeffs, aim, seed_base, Px_in, Py_in
+        )
+        return loss, (params, coeffs, aim, xbar, ybar)
+
+    def _bwd(res, gl):
+        params, coeffs, aim, xbar, ybar = res
+        stats = jnp.stack(
+            [xbar, ybar, jnp.asarray(gl, params.dtype) / R, 0.0 * xbar]
+        ).astype(params.dtype)
+        return bwd_sm(
+            params, coeffs, aim, stats, seed_base, Px_in, Py_in
+        )
+
+    _loss.defvjp(_fwd, _bwd)
+    return _loss(params, coeffs, aim)
+
+
 def sharded_merit(system, rays, wavelength, mesh=None,
                   newton_iters: int = 10, axis: str = "rays"):
     """Example end-to-end sharded objective: RMS spot radius of the traced
@@ -87,4 +235,9 @@ def sharded_merit(system, rays, wavelength, mesh=None,
     return jnp.sqrt(jnp.sum(r2) / tw)
 
 
-__all__ = ["trace_fast_sharded", "sharded_merit", "pad_to_multiple"]
+__all__ = [
+    "trace_fast_sharded",
+    "spot_rms_fast_field_sharded",
+    "sharded_merit",
+    "pad_to_multiple",
+]

@@ -116,6 +116,89 @@ def test_sharded_pallas_gradient_matches_unsharded(mesh, system):
     np.testing.assert_allclose(g2, g1, rtol=1e-6)
 
 
+def _disk_samples(n, seed=3):
+    rng = np.random.default_rng(seed)
+    r = np.sqrt(rng.uniform(size=n))
+    th = rng.uniform(0, 2 * np.pi, size=n)
+    return jnp.asarray(r * np.cos(th)), jnp.asarray(r * np.sin(th))
+
+
+def test_sharded_fused_merit_matches_unsharded(mesh, system):
+    """The sharded fused merit (all_gather of per-tile Chan stats + psum'd
+    parameter cotangents) reproduces the unsharded kernel's loss and
+    gradient on the same explicit pupil samples."""
+    from optiland_tpu.ops.pallas_trace import spot_rms_fast_field
+    from optiland_tpu.parallel.sharded_trace import (
+        spot_rms_fast_field_sharded,
+    )
+
+    n = pad_to_multiple(2048, len(jax.devices()))
+    Px, Py = _disk_samples(n)
+
+    def with_r1(r1):
+        return system.replace(
+            stack=system.stack.replace(
+                radius=system.stack.radius.at[1].set(r1)
+            )
+        )
+
+    def loss_unsharded(r1):
+        return spot_rms_fast_field(
+            with_r1(r1), 0.0, 0.7, 0.55, Px=Px, Py=Py
+        )
+
+    def loss_sharded(r1):
+        return spot_rms_fast_field_sharded(
+            with_r1(r1), 0.0, 0.7, 0.55, Px=Px, Py=Py, mesh=mesh
+        )
+
+    r1 = jnp.asarray(22.01359, system.stack.radius.dtype)
+    v1, g1 = jax.value_and_grad(loss_unsharded)(r1)
+    v2, g2 = jax.value_and_grad(loss_sharded)(r1)
+    assert_allclose(v2, v1, rtol=1e-12, atol=0)
+    assert_allclose(g2, g1, rtol=1e-9, atol=0)
+
+
+def test_sharded_fused_merit_full_stack_grads(mesh, system):
+    """Cotangents reach every differentiable stack leaf (radius, thickness,
+    conic) identically sharded vs unsharded."""
+    from optiland_tpu.ops.pallas_trace import spot_rms_fast_field
+    from optiland_tpu.parallel.sharded_trace import (
+        spot_rms_fast_field_sharded,
+    )
+
+    n = pad_to_multiple(1024, len(jax.devices()))
+    Px, Py = _disk_samples(n, seed=7)
+
+    def loss(stack, sharded):
+        s = system.replace(stack=stack)
+        if sharded:
+            return spot_rms_fast_field_sharded(
+                s, 0.3, 0.5, 0.55, Px=Px, Py=Py, mesh=mesh
+            )
+        return spot_rms_fast_field(s, 0.3, 0.5, 0.55, Px=Px, Py=Py)
+
+    g1 = jax.grad(lambda st: loss(st, False))(system.stack)
+    g2 = jax.grad(lambda st: loss(st, True))(system.stack)
+    for leaf in ("radius", "thickness", "conic"):
+        assert_allclose(
+            getattr(g2, leaf), getattr(g1, leaf), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_sharded_fused_merit_indivisible_raises(mesh, system):
+    from optiland_tpu.parallel.sharded_trace import (
+        spot_rms_fast_field_sharded,
+    )
+
+    n = len(jax.devices()) * 64 + 1
+    Px, Py = _disk_samples(n)
+    with pytest.raises(ValueError, match="divisible"):
+        spot_rms_fast_field_sharded(
+            system, 0.0, 0.7, 0.55, Px=Px, Py=Py, mesh=mesh
+        )
+
+
 def test_indivisible_ray_count_raises(mesh, system):
     from optiland_tpu.parallel.sharded_trace import trace_fast_sharded
 
