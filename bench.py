@@ -122,6 +122,23 @@ def _build_variant(name):
                        grating_order=1, grating_period=10.0,
                        groove_orientation_angle=0.3)
         o.surfaces.add(index=4)
+    elif name == "nurbs":
+        # explicit B-spline net (paraboloid control points): XLA fallback
+        # path — one fused two-plane (u,v) Newton solve per surface step
+        nn = 7
+        xs = _np.linspace(-7, 7, nn)
+        X, Y = _np.meshgrid(xs, xs, indexing="ij")
+        Z = (X**2 + Y**2) / (2 * 80.0)
+        P = _np.stack([X, Y, Z], axis=0)
+        o = Optic()
+        o.surfaces.add(index=0, radius=_np.inf, thickness=_np.inf)
+        o.surfaces.add(index=1, surface_type="nurbs", thickness=6.0,
+                       material="N-BK7", is_stop=True,
+                       control_points=P.tolist(),
+                       weights=_np.ones((nn, nn)).tolist(),
+                       u_degree=3, v_degree=3)
+        o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+        o.surfaces.add(index=3)
     elif name == "grid_sag":
         xs = _np.linspace(-8.1, 8.1, 34)
         ys = _np.linspace(-8.1, 8.1, 34)

@@ -32,6 +32,25 @@ if _X64:
 # cache's cross-process bookkeeping can drop writes under contention.
 _CACHE_DIR = os.environ.get("OPTILAND_TPU_COMPILE_CACHE")
 if _CACHE_DIR:
+    # Per-CPU-model subdirectory: XLA:CPU AOT entries embed the build
+    # host's machine features and can SIGILL/SEGV when loaded on a
+    # different CPU generation (see tests/conftest.py for the incident
+    # writeup) — never share entries across machines.
+    import hashlib as _hashlib
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _lines = _f.read().splitlines()
+        _cpu = next((l for l in _lines if "model name" in l), "") + next(
+            (l for l in _lines if l.startswith("flags")), ""
+        )
+    except OSError:
+        import platform as _platform
+
+        _cpu = _platform.machine() + _platform.processor()
+    _CACHE_DIR = os.path.join(
+        _CACHE_DIR, _hashlib.sha1(_cpu.encode()).hexdigest()[:12]
+    )
     os.makedirs(_CACHE_DIR, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -299,26 +299,89 @@ def _hat_weights(g, q):
     return jnp.maximum(w, 0.0)
 
 
+def _grid_arrays(coeffs, aux):
+    xg = jnp.asarray(np.asarray(aux[1]))
+    yg = jnp.asarray(np.asarray(aux[2]))
+    ny, nx_ = yg.shape[0], xg.shape[0]
+    return xg, yg, coeffs[: ny * nx_].reshape(ny, nx_)
+
+
+def _grid_cells(g, q):
+    """Cell index of each query on the monotone node vector ``g`` (clipped
+    to interior cells so out-of-grid queries extrapolate the edge cell;
+    callers apply the NaN mask afterwards)."""
+    idx = jnp.searchsorted(g, q, side="right") - 1
+    return jnp.clip(idx, 0, g.shape[0] - 2)
+
+
+def _grid_bilinear_coeffs(xg, yg, sg, xq, yq):
+    """Value and partial derivatives (s0, sx, sy, sxy) of the bilinear
+    interpolant at cell-interior query points — the cell's bilinear
+    coefficients in disguise (sxy is the cell's constant cross term).
+
+    TPU: two shared (R, ny)x(ny, nx) MXU contractions of hat weights and
+    their in-cell derivatives (jvp of _hat_weights) — no gathers. Other
+    backends: 4-corner gather (O(R) memory; the (R, n) hat matrices are an
+    O(R*n) blow-up that only pays off where the MXU/no-gather argument
+    holds — advisor finding r4)."""
+    if jax.default_backend() == "tpu":
+        one = jnp.ones_like(xq)
+        wx, dwx = jax.jvp(lambda q: _hat_weights(xg, q), (xq,), (one,))
+        wy, dwy = jax.jvp(
+            lambda q: _hat_weights(yg, q), (yq,), (jnp.ones_like(yq),)
+        )
+        wx, dwx = wx.astype(sg.dtype), dwx.astype(sg.dtype)
+        p1 = wy.astype(sg.dtype) @ sg  # (R, nx)
+        p2 = dwy.astype(sg.dtype) @ sg
+        s0 = jnp.sum(p1 * wx, axis=-1)
+        sx = jnp.sum(p1 * dwx, axis=-1)
+        sy = jnp.sum(p2 * wx, axis=-1)
+        sxy = jnp.sum(p2 * dwx, axis=-1)
+        return s0, sx, sy, sxy
+    ix = _grid_cells(xg, xq)
+    iy = _grid_cells(yg, yq)
+    x0, x1 = jnp.take(xg, ix), jnp.take(xg, ix + 1)
+    y0, y1 = jnp.take(yg, iy), jnp.take(yg, iy + 1)
+    nx_ = xg.shape[0]
+    flat = sg.reshape(-1)
+    s00 = jnp.take(flat, iy * nx_ + ix)
+    s01 = jnp.take(flat, iy * nx_ + ix + 1)
+    s10 = jnp.take(flat, (iy + 1) * nx_ + ix)
+    s11 = jnp.take(flat, (iy + 1) * nx_ + ix + 1)
+    dx = x1 - x0
+    dy = y1 - y0
+    fx = (xq - x0) / dx
+    fy = (yq - y0) / dy
+    s0 = (1 - fy) * ((1 - fx) * s00 + fx * s01) + fy * (
+        (1 - fx) * s10 + fx * s11
+    )
+    sx = ((1 - fy) * (s01 - s00) + fy * (s11 - s10)) / dx
+    sy = ((1 - fx) * (s10 - s00) + fx * (s11 - s01)) / dy
+    sxy = (s11 - s10 - s01 + s00) / (dx * dy)
+    return s0, sx, sy, sxy
+
+
 def _sag_grid(radius, conic, coeffs, p1, p2, x, y, aux=None):
     """Bilinear grid sag (reference: grid_sag.py:33-104). aux = ("grid",
     x_grid, y_grid) as static tuples; the sag VALUES live in the coeff
     vector (row-major, shape (ny, nx)) so they stay differentiable and can
     be grid_sag optimization variables. Out-of-grid points are NaN.
 
-    Evaluated as a hat-basis contraction z = Wy·SG·Wx per ray (exactly
-    bilinear on the cell, since only the two spanning hats are nonzero):
-    the (R, n)x(n, n) products run on the MXU and the VJP w.r.t. the grid
-    values is a matmul instead of a scatter-add."""
-    xg = jnp.asarray(np.asarray(aux[1]))
-    yg = jnp.asarray(np.asarray(aux[2]))
-    ny, nx_ = yg.shape[0], xg.shape[0]
-    sg = coeffs[: ny * nx_].reshape(ny, nx_)
+    On TPU, evaluated as a hat-basis contraction z = Wy·SG·Wx per ray
+    (exactly bilinear on the cell, since only the two spanning hats are
+    nonzero): the (R, n)x(n, n) products run on the MXU and the VJP w.r.t.
+    the grid values is a matmul instead of a scatter-add. Other backends
+    use the O(R)-memory 4-corner gather (advisor finding r4)."""
+    xg, yg, sg = _grid_arrays(coeffs, aux)
     shp = x.shape
     xq = x.reshape(-1)
     yq = y.reshape(-1)
-    wx = _hat_weights(xg, xq).astype(sg.dtype)  # (R, nx)
-    wy = _hat_weights(yg, yq).astype(sg.dtype)  # (R, ny)
-    sag = jnp.sum((wy @ sg) * wx, axis=-1).reshape(shp)
+    if jax.default_backend() == "tpu":
+        wx = _hat_weights(xg, xq).astype(sg.dtype)  # (R, nx)
+        wy = _hat_weights(yg, yq).astype(sg.dtype)  # (R, ny)
+        sag = jnp.sum((wy @ sg) * wx, axis=-1).reshape(shp)
+    else:
+        sag = _grid_bilinear_coeffs(xg, yg, sg, xq, yq)[0].reshape(shp)
     oob = (x < xg[0]) | (x > xg[-1]) | (y < yg[0]) | (y > yg[-1])
     return jnp.where(oob, jnp.nan, sag)
 
@@ -427,6 +490,18 @@ def surface_normal_static(
         from optiland_tpu.core import nurbs
 
         return nurbs.surface_normal(coeffs, aux, x, y)
+    if code == GRID_SAG:
+        # one shared pair of contractions instead of two jvp'd sag
+        # evaluations (identical math: derivative of the interpolant)
+        xg, yg, sg = _grid_arrays(coeffs, aux)
+        shp = x.shape
+        _, dfdx, dfdy, _ = _grid_bilinear_coeffs(
+            xg, yg, sg, x.reshape(-1), y.reshape(-1)
+        )
+        dfdx = dfdx.reshape(shp)
+        dfdy = dfdy.reshape(shp)
+        inv_mag = lax.rsqrt(dfdx**2 + dfdy**2 + 1)
+        return dfdx * inv_mag, dfdy * inv_mag, -inv_mag
     sag_fn = _SAG_FNS[code]
     f = lambda xx, yy: sag_fn(radius, conic, coeffs, p1, p2, xx, yy, aux=aux)
     _, dfdx = jax.jvp(f, (x, y), (jnp.ones_like(x), jnp.zeros_like(y)))
@@ -472,6 +547,59 @@ def _distance_standard(radius, conic, x, y, z, L, M, N):
     return jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
 
 
+def _distance_grid(coeffs, x, y, z, L, M, N, aux):
+    """Closed-form grid-sag intersection: within a cell the bilinear
+    interpolant makes f(τ) = z + τN − S(x + τL, y + τM) exactly QUADRATIC
+    in the step τ (S = a + bx + cy + dxy ⇒ Aτ² + Bτ + C with
+    A = −LMd, B = N − L·Sx − M·Sy, C = z − S), so the intersection needs
+    no Newton loop at all: two cell-refinement passes of one coefficient
+    extraction each (the second pass re-derives the cell at the first
+    root, catching rays whose plane-guess landed one cell off), then one
+    differentiable Newton correction on the full interpolant — the same
+    implicit-function-theorem gradient structure as the generic path.
+    Replaces 16 Newton iterations x jvp of the O(R·n) hat contraction
+    with ~3 extractions (reference semantics: grid_sag.py:33-104 +
+    newton_raphson.py:119-168, which iterates the same bilinear surface
+    to tol 1e-10 — the exact cell root is that limit)."""
+    xg, yg, sg = _grid_arrays(coeffs, aux)
+    t = _distance_plane(x, y, z, L, M, N)
+    for _ in range(2):
+        xq = x + t * L
+        yq = y + t * M
+        zq = z + t * N
+        s0, sx, sy, sxy = _grid_bilinear_coeffs(xg, yg, sg, xq, yq)
+        s0, sx = s0.reshape(x.shape), sx.reshape(x.shape)
+        sy, sxy = sy.reshape(x.shape), sxy.reshape(x.shape)
+        A = -L * M * sxy
+        B = N - L * sx - M * sy
+        C = zq - s0
+        disc = B * B - 4 * A * C
+        sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sgn = jnp.where(B >= 0, 1.0, -1.0)
+        q = -0.5 * (B + sgn * sqrt_d)
+        q_safe = jnp.where(q == 0, 1.0, q)
+        a_safe = jnp.where(A == 0, 1.0, A)
+        tau1 = jnp.where(A == 0, jnp.inf, q / a_safe)
+        tau2 = jnp.where(q == 0, 0.0, C / q_safe)
+        tau = jnp.where(jnp.abs(tau1) < jnp.abs(tau2), tau1, tau2)
+        # disc < 0: the local patch misses (saddle cell) — take a plain
+        # Newton step instead so the next pass can re-anchor
+        b_safe = jnp.where(jnp.abs(B) > 1e-14, B, 1e-14)
+        tau = jnp.where(disc >= 0, tau, -C / b_safe)
+        tau = jnp.where(jnp.isfinite(tau), tau, 0.0)
+        t = t + tau
+    t = lax.stop_gradient(t)
+
+    def f_of_t(t):
+        return (z + t * N) - _sag_grid(
+            None, None, coeffs, None, None, x + t * L, y + t * M, aux=aux
+        )
+
+    f_val, dfdt = jax.jvp(f_of_t, (t,), (jnp.ones_like(t),))
+    dfdt = jnp.where(jnp.abs(dfdt) > 1e-14, dfdt, 1e-14)
+    return t - f_val / dfdt
+
+
 def distance_static(
     code: int, radius, conic, coeffs, x, y, z, L, M, N, p1=1.0, p2=1.0, aux=None
 ):
@@ -484,6 +612,8 @@ def distance_static(
         from optiland_tpu.core import nurbs
 
         return nurbs.distance(coeffs, aux, x, y, z, L, M, N)
+    if code == GRID_SAG:
+        return _distance_grid(coeffs, x, y, z, L, M, N, aux)
 
     sag_fn = _SAG_FNS[code]
     # Newton iteration from the base-conic guess

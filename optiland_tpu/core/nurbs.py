@@ -81,7 +81,16 @@ def _param_guess(P, x, y):
     return jnp.clip(u0, 0.0, 1.0), jnp.clip(v0, 0.0, 1.0)
 
 
-def _newton_uv(residual_fn, u, v, iters: int = 24):
+def _uv_iters(dtype) -> int:
+    """Parameter-space Newton iteration count by dtype: the 2x2 solve
+    converges quadratically from the bounding-box guess, so iterations
+    past the dtype's precision floor only add cost. 12 reaches f32 eps
+    with margin (measured: <=7 for the fitted-conic surfaces); 24 is the
+    conservative f64 parity count."""
+    return 12 if jnp.dtype(dtype) == jnp.float32 else 24
+
+
+def _newton_uv(residual_fn, u, v, iters: int | None = None):
     """Fixed-count damped 2x2 Newton on (u, v) in [0, 1]^2.
 
     The reference restarts out-of-bounds iterates at random points
@@ -90,6 +99,9 @@ def _newton_uv(residual_fn, u, v, iters: int = 24):
     inside the box.
     """
     import jax
+
+    if iters is None:
+        iters = _uv_iters(u.dtype)
 
     def step(u, v):
         (f1, f2), (df1_du, df2_du) = jax.jvp(
@@ -161,10 +173,18 @@ def surface_normal(coeffs, aux, x, y):
     return nx * flip, ny * flip, nz * flip
 
 
-def distance(coeffs, aux, x, y, z, L, M, N):
-    """Ray-surface distance via the two-plane formulation
-    (reference: nurbs_geometry.py:763-830, after Martin et al., "Practical
-    ray tracing of trimmed NURBS surfaces")."""
+def intersect(coeffs, aux, x, y, z, L, M, N):
+    """Ray-surface distance AND unit normal from ONE two-plane parameter
+    solve (reference: nurbs_geometry.py:763-870, after Martin et al.,
+    "Practical ray tracing of trimmed NURBS surfaces").
+
+    The trace step needs both t and the normal at the intersection; the
+    converged (u, v) of the distance solve IS the intersection's
+    parameter point, so the normal (cross product of the parametric
+    tangents there) comes for free — running surface_normal separately
+    would repeat the entire Newton solve on the same point."""
+    import jax
+
     P, W = unpack_pw(coeffs, aux)
     mask = (L > M) & (L > N)
     hyp1 = jnp.sqrt(L**2 + M**2)
@@ -190,7 +210,23 @@ def distance(coeffs, aux, x, y, z, L, M, N):
     u, v = _newton_uv(residual, u0, v0)
     S = nurbs_eval(P, W, aux, u, v)
     t = jnp.sqrt((S[0] - x) ** 2 + (S[1] - y) ** 2 + (S[2] - z) ** 2)
-    return t
+
+    eval_uv = lambda uu, vv: nurbs_eval(P, W, aux, uu, vv)
+    _, Su = jax.jvp(eval_uv, (u, v), (jnp.ones_like(u), jnp.zeros_like(v)))
+    _, Sv = jax.jvp(eval_uv, (u, v), (jnp.zeros_like(u), jnp.ones_like(v)))
+    nx = Su[1] * Sv[2] - Su[2] * Sv[1]
+    ny = Su[2] * Sv[0] - Su[0] * Sv[2]
+    nz = Su[0] * Sv[1] - Su[1] * Sv[0]
+    mag = jnp.sqrt(nx**2 + ny**2 + nz**2)
+    mag = jnp.where(mag == 0, 1.0, mag)
+    nx, ny, nz = nx / mag, ny / mag, nz / mag
+    flip = jnp.sign(jnp.where(nz == 0, 1.0, -nz))
+    return t, (nx * flip, ny * flip, nz * flip)
+
+
+def distance(coeffs, aux, x, y, z, L, M, N):
+    """Ray-surface distance via the two-plane formulation (see intersect)."""
+    return intersect(coeffs, aux, x, y, z, L, M, N)[0]
 
 
 # ---------------------------------------------------------------------------

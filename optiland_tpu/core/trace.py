@@ -56,10 +56,19 @@ def _surface_step(stack, cfg, s, pos_s, state):
         x, z, L, N = kernels.rotate_y(x, z, L, N, -stack.ry[s])
         y, z, M, N = kernels.rotate_x(y, z, M, N, -stack.rx[s])
 
-    # Intersect + propagate
-    t = geom.distance_static(
-        code, radius, conic, coeffs, x, y, z, L, M, N, p1=p1, p2=p2, aux=aux
-    )
+    # Intersect + propagate. NURBS: one two-plane parameter solve yields
+    # both t and the normal at the converged (u, v) — a separate
+    # surface_normal call would repeat the full Newton solve.
+    nurbs_normal = None
+    if code == geom.NURBS:
+        from optiland_tpu.core import nurbs as _nurbs
+
+        t, nurbs_normal = _nurbs.intersect(coeffs, aux, x, y, z, L, M, N)
+    else:
+        t = geom.distance_static(
+            code, radius, conic, coeffs, x, y, z, L, M, N,
+            p1=p1, p2=p2, aux=aux,
+        )
     x = x + t * L
     y = y + t * M
     z = z + t * N
@@ -81,9 +90,12 @@ def _surface_step(stack, cfg, s, pos_s, state):
         inten = jnp.where(x**2 + y**2 > ap**2, 0.0, inten)
 
     # Normal + interaction
-    nx, ny, nz = geom.surface_normal_static(
-        code, radius, conic, coeffs, x, y, p1=p1, p2=p2, aux=aux
-    )
+    if nurbs_normal is not None:
+        nx, ny, nz = nurbs_normal
+    else:
+        nx, ny, nz = geom.surface_normal_static(
+            code, radius, conic, coeffs, x, y, p1=p1, p2=p2, aux=aux
+        )
     nx_raw, ny_raw, nz_raw = nx, ny, nz
     L0, M0, N0 = L, M, N  # pre-interaction directions
     inter = cfg.interactions[s] if cfg.interactions is not None else None

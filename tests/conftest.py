@@ -58,8 +58,31 @@ if _CACHE != "0":
     # second import's flock below conflicts with the first's (flock is
     # per-open-file-description, even within one process) and silently
     # switched every worker to a cold throwaway cache.
+    # Namespace the cache by host-CPU identity. XLA:CPU stores AOT results
+    # compiled with the build host's exact machine features; loading an
+    # entry produced on a different CPU generation logs "Machine type used
+    # for XLA:CPU compilation doesn't match ... could lead to execution
+    # errors such as SIGILL" and was the source of the rare mid-suite
+    # worker segfaults (crash inside compilation_cache.get_executable_and
+    # _time -> deserialize_executable). A per-CPU-model subdirectory makes
+    # cross-machine cache hits impossible; the crash-retry hook below is
+    # now a pure safety net.
+    def _cpu_tag():
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                lines = f.read().splitlines()
+            model = next((l for l in lines if "model name" in l), "")
+            flags = next((l for l in lines if l.startswith("flags")), "")
+        except OSError:
+            import platform
+
+            model, flags = platform.machine(), platform.processor()
+        return hashlib.sha1((model + flags).encode()).hexdigest()[:12]
+
     if os.environ.get("_OPTILAND_TPU_CACHE_PID") != str(os.getpid()):
-        cache_dir = os.path.join(_CACHE, worker)
+        cache_dir = os.path.join(_CACHE, _cpu_tag(), worker)
         os.makedirs(cache_dir, exist_ok=True)
         # Single-writer guarantee ACROSS pytest processes: a concurrent
         # second `pytest` run reuses the same worker ids, and two writers
@@ -113,14 +136,20 @@ def assert_allclose(actual, desired, rtol=1e-5, atol=1e-7):
 
 
 # ---------------------------------------------------------------------------
-# Crash resilience: jaxlib 0.9.0's XLA:CPU backend very rarely (~1 per
-# full-suite run) segfaults INSIDE backend_compile_and_load when several
-# worker processes compile concurrently ("Fatal Python error: Segmentation
-# fault" with the main thread in jax/_src/compiler.py:362; the victim test
-# is arbitrary and always passes in isolation). Until the upstream crash is
-# fixed, reschedule a crashed test once on a fresh worker instead of
-# reporting a spurious failure. A second crash of the SAME test is reported
-# normally — real crashers cannot hide.
+# Crash resilience (now a pure safety net). Root cause found and fixed in
+# round 5: the rare (~1 per full-suite run) worker segfaults happened while
+# LOADING persistent-cache entries (crash stacks in
+# jax/_src/compilation_cache.py get_executable_and_time ->
+# backend.deserialize_executable, and in backend_compile_and_load on the
+# write side). XLA:CPU stores AOT results compiled with exact machine
+# features; this home directory's cache had entries from a different CPU
+# generation, and XLA logs "Machine type used for XLA:CPU compilation
+# doesn't match ... could lead to execution errors such as SIGILL" right
+# before such loads. The per-CPU-model cache namespace above makes stale
+# cross-machine hits impossible. The hook remains: if a worker still
+# crashes for any novel reason, reschedule the victim test once on a fresh
+# worker; a second crash of the SAME test is reported normally — real
+# crashers cannot hide.
 # ---------------------------------------------------------------------------
 
 _crash_retried: set = set()

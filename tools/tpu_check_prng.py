@@ -16,7 +16,9 @@ Run: python tools/tpu_check_prng.py   (needs the real TPU; OPTILAND_TPU_X64=0)
 from __future__ import annotations
 
 import os
+import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("OPTILAND_TPU_X64", "0")
 
 import jax
