@@ -547,57 +547,86 @@ def _distance_standard(radius, conic, x, y, z, L, M, N):
     return jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
 
 
-def _distance_grid(coeffs, x, y, z, L, M, N, aux):
-    """Closed-form grid-sag intersection: within a cell the bilinear
-    interpolant makes f(τ) = z + τN − S(x + τL, y + τM) exactly QUADRATIC
-    in the step τ (S = a + bx + cy + dxy ⇒ Aτ² + Bτ + C with
-    A = −LMd, B = N − L·Sx − M·Sy, C = z − S), so the intersection needs
-    no Newton loop at all: two cell-refinement passes of one coefficient
-    extraction each (the second pass re-derives the cell at the first
-    root, catching rays whose plane-guess landed one cell off), then one
-    differentiable Newton correction on the full interpolant — the same
-    implicit-function-theorem gradient structure as the generic path.
-    Replaces 16 Newton iterations x jvp of the O(R·n) hat contraction
-    with ~3 extractions (reference semantics: grid_sag.py:33-104 +
+def _quad_tau(A, B, C):
+    """Stable root of Aτ² + Bτ + C = 0 nearest τ = 0 (Citardauq pairing);
+    disc < 0 (saddle cell the ray misses locally) degrades to a plain
+    Newton step −C/B so the next refinement pass can re-anchor."""
+    disc = B * B - 4 * A * C
+    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sgn = jnp.where(B >= 0, 1.0, -1.0)
+    q = -0.5 * (B + sgn * sqrt_d)
+    q_safe = jnp.where(q == 0, 1.0, q)
+    a_safe = jnp.where(A == 0, 1.0, A)
+    tau1 = jnp.where(A == 0, jnp.inf, q / a_safe)
+    tau2 = jnp.where(q == 0, 0.0, C / q_safe)
+    tau = jnp.where(jnp.abs(tau1) < jnp.abs(tau2), tau1, tau2)
+    b_safe = jnp.where(jnp.abs(B) > 1e-14, B, 1e-14)
+    tau = jnp.where(disc >= 0, tau, -C / b_safe)
+    return jnp.where(jnp.isfinite(tau), tau, 0.0)
+
+
+def _intersect_grid(coeffs, x, y, z, L, M, N, aux):
+    """Closed-form grid-sag intersection AND normal from three coefficient
+    extractions total.
+
+    Within a cell the bilinear interpolant makes
+    f(τ) = z + τN − S(x + τL, y + τM) exactly QUADRATIC in the step τ
+    (S = a + bx + cy + dxy ⇒ Aτ² + Bτ + C with A = −LM·Sxy,
+    B = N − L·Sx − M·Sy, C = z − S), so the intersection needs no Newton
+    loop: two stop-gradient cell-refinement passes (the second re-derives
+    the cell at the first root, catching rays whose plane guess landed a
+    cell off), then ONE differentiable extraction at the converged root
+    that yields the IFT Newton correction (f = zq − s0, f' = B — no jvp
+    needed: the directional derivative is closed-form) and the surface
+    normal ((−Sx, −Sy, 1) normalized — the same derivative the generic
+    path takes by AD of the sag) in the same pass. Replaces 16 Newton
+    iterations x jvp of the O(R·n) hat contraction plus a separate
+    2-jvp normal evaluation (reference semantics: grid_sag.py:33-104 +
     newton_raphson.py:119-168, which iterates the same bilinear surface
     to tol 1e-10 — the exact cell root is that limit)."""
     xg, yg, sg = _grid_arrays(coeffs, aux)
-    t = _distance_plane(x, y, z, L, M, N)
-    for _ in range(2):
-        xq = x + t * L
-        yq = y + t * M
-        zq = z + t * N
-        s0, sx, sy, sxy = _grid_bilinear_coeffs(xg, yg, sg, xq, yq)
-        s0, sx = s0.reshape(x.shape), sx.reshape(x.shape)
-        sy, sxy = sy.reshape(x.shape), sxy.reshape(x.shape)
-        A = -L * M * sxy
-        B = N - L * sx - M * sy
-        C = zq - s0
-        disc = B * B - 4 * A * C
-        sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
-        sgn = jnp.where(B >= 0, 1.0, -1.0)
-        q = -0.5 * (B + sgn * sqrt_d)
-        q_safe = jnp.where(q == 0, 1.0, q)
-        a_safe = jnp.where(A == 0, 1.0, A)
-        tau1 = jnp.where(A == 0, jnp.inf, q / a_safe)
-        tau2 = jnp.where(q == 0, 0.0, C / q_safe)
-        tau = jnp.where(jnp.abs(tau1) < jnp.abs(tau2), tau1, tau2)
-        # disc < 0: the local patch misses (saddle cell) — take a plain
-        # Newton step instead so the next pass can re-anchor
-        b_safe = jnp.where(jnp.abs(B) > 1e-14, B, 1e-14)
-        tau = jnp.where(disc >= 0, tau, -C / b_safe)
-        tau = jnp.where(jnp.isfinite(tau), tau, 0.0)
-        t = t + tau
-    t = lax.stop_gradient(t)
+    shp = x.shape
 
-    def f_of_t(t):
-        return (z + t * N) - _sag_grid(
-            None, None, coeffs, None, None, x + t * L, y + t * M, aux=aux
+    def extract(sgv, xq, yq):
+        parts = _grid_bilinear_coeffs(
+            xg, yg, sgv, xq.reshape(-1), yq.reshape(-1)
         )
+        return tuple(p.reshape(shp) for p in parts)
 
-    f_val, dfdt = jax.jvp(f_of_t, (t,), (jnp.ones_like(t),))
+    xs, ys, zs, Ls, Ms, Ns, sgs = (
+        lax.stop_gradient(a) for a in (x, y, z, L, M, N, sg)
+    )
+    t = lax.stop_gradient(_distance_plane(x, y, z, L, M, N))
+    for _ in range(2):
+        s0, sx, sy, sxy = extract(sgs, xs + t * Ls, ys + t * Ms)
+        A = -Ls * Ms * sxy
+        B = Ns - Ls * sx - Ms * sy
+        C = (zs + t * Ns) - s0
+        t = t + _quad_tau(A, B, C)
+
+    # differentiable pass at the converged root: IFT correction + normal
+    s0, sx, sy, _ = extract(sg, x + t * L, y + t * M)
+    dfdt = lax.stop_gradient(N - L * sx - M * sy)
     dfdt = jnp.where(jnp.abs(dfdt) > 1e-14, dfdt, 1e-14)
-    return t - f_val / dfdt
+    t = t - ((z + t * N) - s0) / dfdt
+
+    # out-of-grid rays: NaN, matching _sag_grid's mask semantics
+    xq = x + t * L
+    yq = y + t * M
+    oob = (xq < xg[0]) | (xq > xg[-1]) | (yq < yg[0]) | (yq > yg[-1])
+    nanv = jnp.nan
+    t = jnp.where(oob, nanv, t)
+    inv_mag = lax.rsqrt(sx**2 + sy**2 + 1)
+    normal = (
+        jnp.where(oob, nanv, sx * inv_mag),
+        jnp.where(oob, nanv, sy * inv_mag),
+        jnp.where(oob, nanv, -inv_mag),
+    )
+    return t, normal
+
+
+def _distance_grid(coeffs, x, y, z, L, M, N, aux):
+    return _intersect_grid(coeffs, x, y, z, L, M, N, aux)[0]
 
 
 def distance_static(

@@ -56,14 +56,17 @@ def _surface_step(stack, cfg, s, pos_s, state):
         x, z, L, N = kernels.rotate_y(x, z, L, N, -stack.ry[s])
         y, z, M, N = kernels.rotate_x(y, z, M, N, -stack.rx[s])
 
-    # Intersect + propagate. NURBS: one two-plane parameter solve yields
-    # both t and the normal at the converged (u, v) — a separate
-    # surface_normal call would repeat the full Newton solve.
-    nurbs_normal = None
+    # Intersect + propagate. NURBS and grid-sag surfaces fuse the
+    # distance solve with the normal: the converged parameter point /
+    # cell coefficients yield both, so a separate surface_normal call
+    # (which would repeat the whole solve) is skipped.
+    fused_normal = None
     if code == geom.NURBS:
         from optiland_tpu.core import nurbs as _nurbs
 
-        t, nurbs_normal = _nurbs.intersect(coeffs, aux, x, y, z, L, M, N)
+        t, fused_normal = _nurbs.intersect(coeffs, aux, x, y, z, L, M, N)
+    elif code == geom.GRID_SAG:
+        t, fused_normal = geom._intersect_grid(coeffs, x, y, z, L, M, N, aux)
     else:
         t = geom.distance_static(
             code, radius, conic, coeffs, x, y, z, L, M, N,
@@ -90,8 +93,8 @@ def _surface_step(stack, cfg, s, pos_s, state):
         inten = jnp.where(x**2 + y**2 > ap**2, 0.0, inten)
 
     # Normal + interaction
-    if nurbs_normal is not None:
-        nx, ny, nz = nurbs_normal
+    if fused_normal is not None:
+        nx, ny, nz = fused_normal
     else:
         nx, ny, nz = geom.surface_normal_static(
             code, radius, conic, coeffs, x, y, p1=p1, p2=p2, aux=aux

@@ -221,6 +221,82 @@ class LensEditorModel:
     def set_stop(self, row: int):
         self.svc.set_stop_surface(row)
 
+    # ---------------- per-surface properties form ----------------
+    # (reference: lens_editor.py:38-117 SurfacePropertiesWidget — the
+    # expandable per-type parameter form under a surface row)
+
+    def properties_form(self, row: int) -> list:
+        """Ordered (key, kind, value) field specs for the surface's
+        extended per-type parameters. kinds: 'float', 'int', 'choice:*'
+        (colon-separated options), 'floats' (comma-separated list)."""
+        params = self.svc.get_type_params(row)
+        kinds = {
+            "coefficients": "floats",
+            "zernike_type": "choice:fringe:standard:noll",
+            "grating_order": "int",
+        }
+        out = []
+        for key, value in params.items():
+            kind = kinds.get(key, "float")
+            if kind == "floats":
+                value = ", ".join(f"{float(v):g}" for v in value)
+            out.append((key, kind, value))
+        return out
+
+    def apply_properties(self, row: int, values: dict) -> str | None:
+        """Parse + write form text back; returns an error message instead
+        of raising (the widget shows it inline)."""
+        parsed = {}
+        try:
+            for key, kind, _ in self.properties_form(row):
+                if key not in values:
+                    continue
+                text = values[key]
+                if kind == "floats":
+                    parsed[key] = [
+                        float(tok) for tok in str(text).replace(",", " ")
+                        .split()
+                    ]
+                elif kind == "int":
+                    parsed[key] = int(text)
+                elif kind.startswith("choice:"):
+                    opts = kind.split(":")[1:]
+                    if str(text) not in opts:
+                        return f"{key}: must be one of {opts}"
+                    parsed[key] = str(text)
+                else:
+                    parsed[key] = float(text)
+        except (TypeError, ValueError) as err:
+            return f"invalid value: {err}"
+        if not parsed:
+            return None
+        try:
+            self.svc.set_type_params(row, **parsed)
+        except (KeyError, ValueError) as err:
+            return str(err)
+        return None
+
+    def variable_kwargs(self, row: int, col: int):
+        """(variable_type, kwargs) to add the cell as an optimization
+        variable, or None when the cell isn't a variable candidate
+        (reference: lens_editor.py:332-348 request-add-variable)."""
+        headers = self.column_headers()
+        if not (0 < row < self.row_count() - 1):
+            return None
+        if col >= len(headers):
+            return None
+        name = headers[col]
+        mapping = {
+            "Radius": ("radius", {}),
+            "Thickness": ("thickness", {}),
+            "Conic": ("conic", {}),
+            "Material": ("material", {}),
+        }
+        if name not in mapping:
+            return None
+        var_type, extra = mapping[name]
+        return var_type, {"surface_number": row, **extra}
+
     # ---------------- clipboard (TSV) ----------------
 
     def copy_rows(self, rows: list[int]) -> str:
@@ -847,3 +923,288 @@ class OptimizationPanelModel:
 
     def merit_info_text(self) -> str:
         return self._info_text("merit_info")
+
+
+class SagViewerModel:
+    """Headless model for the surface-sag viewer tab (reference:
+    optiland_gui/viewer_panel.py:57-242 SagViewer): surface picker,
+    cross-section curves, live cursor readout, CSV export. The Qt widget
+    only binds these arrays to a canvas."""
+
+    def __init__(self, connector):
+        self.connector = connector
+        self.surface_index = 1
+        self.y_cross = 0.0
+        self.x_cross = 0.0
+        self.num_points = 101
+
+    # ---------------- population ----------------
+
+    def surface_labels(self) -> list:
+        o = self.connector.get_optic()
+        n = len(o.surfaces.surfaces)
+        return [f"S{i} ({o.surfaces.surfaces[i].surface_type or 'standard'})"
+                for i in range(1, n - 1)]
+
+    def surface_range(self) -> tuple:
+        """(lo, hi) valid surface indices (object/image excluded)."""
+        n = len(self.connector.get_optic().surfaces.surfaces)
+        return 1, max(1, n - 2)
+
+    def set_surface(self, idx: int):
+        lo, hi = self.surface_range()
+        self.surface_index = int(min(max(idx, lo), hi))
+
+    # ---------------- data ----------------
+
+    def max_extent(self, buffer_factor: float = 1.1) -> float:
+        import numpy as np
+
+        system = self.connector.get_optic().system
+        ap = float(np.asarray(system.stack.ap_max)[self.surface_index])
+        if not np.isfinite(ap) or ap <= 0:
+            ap = 10.0
+        return ap * buffer_factor
+
+    def _sag(self, xs, ys):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from optiland_tpu.core import geometry as geom
+
+        system = self.connector.get_optic().system
+        stack, cfg = system.stack, system.cfg
+        s = self.surface_index
+        aux = cfg.geom_aux[s] if cfg.geom_aux is not None else None
+        z = geom.sag_static(
+            cfg.geom_codes[s], stack.radius[s], stack.conic[s],
+            stack.coeffs[s], jnp.asarray(xs), jnp.asarray(ys),
+            p1=stack.geo_p1[s], p2=stack.geo_p2[s], aux=aux,
+        )
+        return np.asarray(z)
+
+    def profiles(self):
+        """(r, sag_x_cut, sag_y_cut): cross-sections through the current
+        (x_cross, y_cross) lines."""
+        import numpy as np
+
+        ext = self.max_extent()
+        r = np.linspace(-ext, ext, self.num_points)
+        zx = self._sag(r, np.full_like(r, self.y_cross))
+        zy = self._sag(np.full_like(r, self.x_cross), r)
+        return r, zx, zy
+
+    def sag_map(self, n: int = 41):
+        """(X, Y, Z) grid for the 2-D contour view."""
+        import numpy as np
+
+        ext = self.max_extent()
+        lin = np.linspace(-ext, ext, n)
+        X, Y = np.meshgrid(lin, lin)
+        Z = self._sag(X.ravel(), Y.ravel()).reshape(X.shape)
+        return X, Y, Z
+
+    def cursor_readout(self, x: float, y: float) -> str:
+        """Status-bar text under the mouse (reference SagViewer
+        on_mouse_move_on_plot)."""
+        z = float(self._sag([x], [y])[0])
+        return f"x={x:+.3f}  y={y:+.3f}  sag={z:+.6f} mm"
+
+    def export_csv(self, path: str) -> str:
+        import numpy as np
+
+        r, zx, zy = self.profiles()
+        np.savetxt(
+            path, np.column_stack([r, zx, zy]), delimiter=",",
+            header="r_mm,sag_along_x_mm,sag_along_y_mm", comments="",
+        )
+        return path
+
+
+class ViewNavModel:
+    """2-D viewer navigation state: home bounds, wheel zoom about the
+    cursor, drag pan, reset — the testable core of the reference's
+    MatplotlibViewer mouse handlers (viewer_panel.py:460-567). The Qt
+    event handlers translate events into these calls and apply the
+    returned (xlim, ylim) to the axes."""
+
+    def __init__(self):
+        self.home = None       # ((x0, x1), (y0, y1))
+        self.xlim = None
+        self.ylim = None
+        self._drag_anchor = None
+
+    def set_home(self, xlim, ylim):
+        self.home = (tuple(xlim), tuple(ylim))
+        if self.xlim is None:
+            self.xlim, self.ylim = self.home
+
+    @property
+    def is_zoomed(self) -> bool:
+        return self.home is not None and (
+            tuple(self.xlim) != self.home[0]
+            or tuple(self.ylim) != self.home[1]
+        )
+
+    def zoom_at(self, factor: float, x: float, y: float):
+        """factor < 1 zooms in; the anchor point stays fixed on screen."""
+        (x0, x1), (y0, y1) = self.xlim, self.ylim
+        self.xlim = (x - (x - x0) * factor, x + (x1 - x) * factor)
+        self.ylim = (y - (y - y0) * factor, y + (y1 - y) * factor)
+        return self.xlim, self.ylim
+
+    def begin_drag(self, x: float, y: float):
+        self._drag_anchor = (x, y, self.xlim, self.ylim)
+
+    def drag_to(self, x: float, y: float):
+        if self._drag_anchor is None:
+            return self.xlim, self.ylim
+        ax, ay, (x0, x1), (y0, y1) = self._drag_anchor
+        dx, dy = ax - x, ay - y
+        self.xlim = (x0 + dx, x1 + dx)
+        self.ylim = (y0 + dy, y1 + dy)
+        return self.xlim, self.ylim
+
+    def end_drag(self):
+        self._drag_anchor = None
+
+    def reset(self):
+        if self.home is not None:
+            self.xlim, self.ylim = self.home
+        return self.xlim, self.ylim
+
+
+class Command:
+    __slots__ = ("label", "callback", "shortcut", "category")
+
+    def __init__(self, label, callback, shortcut="", category=""):
+        self.label = label
+        self.callback = callback
+        self.shortcut = shortcut
+        self.category = category
+
+
+class CommandPaletteModel:
+    """Registry + fuzzy filter behind the command palette (reference:
+    optiland_gui widgets/command_palette). Subsequence match with
+    word-start bonuses; execute() runs the callback and reports errors
+    as a string instead of raising into the Qt event loop."""
+
+    def __init__(self):
+        self.commands: list = []
+
+    def register(self, label, callback, shortcut="", category=""):
+        self.commands.append(Command(label, callback, shortcut, category))
+
+    @staticmethod
+    def _score(query: str, label: str):
+        q = query.lower()
+        s = label.lower()
+        if not q:
+            return 0.0
+        pos = -1
+        score = 0.0
+        for ch in q:
+            nxt = s.find(ch, pos + 1)
+            if nxt < 0:
+                return None
+            score += 2.0 if (nxt == 0 or s[nxt - 1] in " /:_-") else 1.0
+            if nxt == pos + 1:
+                score += 0.5
+            pos = nxt
+        return score / (1 + len(s) * 0.01)
+
+    def filter(self, query: str) -> list:
+        scored = []
+        for c in self.commands:
+            sc = self._score(query, f"{c.category} {c.label}".strip())
+            if sc is not None:
+                scored.append((sc, c))
+        scored.sort(key=lambda t: (-t[0], t[1].label))
+        return [c for _, c in scored]
+
+    def execute(self, command) -> str | None:
+        try:
+            command.callback()
+            return None
+        except Exception as err:  # surfaced as a toast, not a crash
+            return f"{type(err).__name__}: {err}"
+
+
+class TerminalModel:
+    """Embedded Python console state (reference:
+    optiland_gui/widgets/python_terminal.py): persistent namespace with
+    the live connector/optic, stdout/stderr capture, and shell-style
+    history recall."""
+
+    def __init__(self, connector):
+        import numpy as np
+
+        self.connector = connector
+        self.namespace = {
+            "connector": connector,
+            "np": np,
+            "get_optic": connector.get_optic,
+        }
+        self.history: list[str] = []
+        self._hist_pos = 0
+
+    def run(self, code: str) -> str:
+        """Execute one input; returns captured output (repr of the value
+        for expressions, print output, or the traceback tail)."""
+        import io
+        import traceback
+        from contextlib import redirect_stderr, redirect_stdout
+
+        self.history.append(code)
+        self._hist_pos = len(self.history)
+        self.namespace["optic"] = self.connector.get_optic()
+        buf = io.StringIO()
+        try:
+            with redirect_stdout(buf), redirect_stderr(buf):
+                try:
+                    result = eval(  # noqa: S307 - user REPL by design
+                        compile(code, "<terminal>", "eval"), self.namespace
+                    )
+                    if result is not None:
+                        print(repr(result))
+                except SyntaxError:
+                    exec(  # noqa: S102 - user REPL by design
+                        compile(code, "<terminal>", "exec"), self.namespace
+                    )
+        except Exception:
+            tb = traceback.format_exc().splitlines()
+            buf.write("\n".join(tb[-3:]))
+        return buf.getvalue()
+
+    def recall(self, direction: int) -> str:
+        """History recall: direction -1 = up, +1 = down."""
+        if not self.history:
+            return ""
+        self._hist_pos = min(
+            max(self._hist_pos + direction, 0), len(self.history)
+        )
+        if self._hist_pos == len(self.history):
+            return ""
+        return self.history[self._hist_pos]
+
+
+class ToastModel:
+    """Transient notification queue (reference: optiland_gui toasts):
+    the window drains it on a timer; levels map to styling."""
+
+    LEVELS = ("info", "success", "warning", "error")
+
+    def __init__(self, limit: int = 5):
+        self.queue: list[tuple[str, str]] = []
+        self.limit = limit
+
+    def push(self, message: str, level: str = "info"):
+        if level not in self.LEVELS:
+            level = "info"
+        self.queue.append((message, level))
+        del self.queue[: -self.limit]
+
+    def drain(self) -> list[tuple[str, str]]:
+        out, self.queue = self.queue, []
+        return out

@@ -18,9 +18,13 @@ from optiland_tpu.services.view_models import LensEditorModel
 from optiland_tpu_gui.qt import (
     QApplication,
     QComboBox,
+    QFormLayout,
+    QGroupBox,
     QHBoxLayout,
     QHeaderView,
     QKeySequence,
+    QLabel,
+    QLineEdit,
     QMenu,
     QPushButton,
     Qt,
@@ -30,6 +34,56 @@ from optiland_tpu_gui.qt import (
     QVBoxLayout,
     QWidget,
 )
+
+
+class SurfacePropertiesWidget(QGroupBox):
+    """Expandable per-type parameter form for one surface (reference:
+    lens_editor.py:38-117 SurfacePropertiesWidget): asphere coefficient
+    lists, normalization radii, grating parameters — everything the
+    spreadsheet's dynamic columns don't show. Field specs and the
+    parse/validate/apply path live in LensEditorModel.properties_form /
+    apply_properties (tested headless)."""
+
+    def __init__(self, model: LensEditorModel, parent=None):
+        super().__init__("Surface properties", parent)
+        self.model = model
+        self.row = -1
+        self._edits: dict = {}
+        self.form = QFormLayout(self)
+        self.status = QLabel("", self)
+        self.apply_btn = QPushButton("Apply", self)
+        self.apply_btn.clicked.connect(self._apply)
+
+    def show_row(self, row: int):
+        self.row = row
+        while self.form.rowCount():
+            self.form.removeRow(0)
+        self._edits.clear()
+        fields = self.model.properties_form(row) if row >= 0 else []
+        self.setVisible(bool(fields))
+        if not fields:
+            return
+        for key, kind, value in fields:
+            if kind.startswith("choice:"):
+                w = QComboBox(self)
+                w.addItems(kind.split(":")[1:])
+                idx = w.findText(str(value))
+                if idx >= 0:
+                    w.setCurrentIndex(idx)
+            else:
+                w = QLineEdit(str(value), self)
+            self._edits[key] = w
+            self.form.addRow(key.replace("_", " "), w)
+        self.form.addRow(self.status, self.apply_btn)
+
+    def _apply(self):
+        values = {}
+        for key, w in self._edits.items():
+            values[key] = (
+                w.currentText() if isinstance(w, QComboBox) else w.text()
+            )
+        err = self.model.apply_properties(self.row, values)
+        self.status.setText(err or "applied")
 
 
 class LensEditor(QWidget):
@@ -67,9 +121,14 @@ class LensEditor(QWidget):
             btns.addWidget(b)
         btns.addStretch(1)
 
+        self.props = SurfacePropertiesWidget(self.model, self)
+        self.props.setVisible(False)
+        self.table.currentCellChanged.connect(self._on_current_cell)
+
         layout = QVBoxLayout(self)
         layout.addLayout(btns)
         layout.addWidget(self.table)
+        layout.addWidget(self.props)
 
         QShortcut(QKeySequence.StandardKey.Copy, self.table,
                   activated=self._copy)
@@ -212,6 +271,25 @@ class LensEditor(QWidget):
             self.rebuild()
             self.connector.surfaceDataChanged.emit(row, col)
 
+    # -------------- properties expansion --------------
+
+    def _on_current_cell(self, row, col, *_):
+        if not self._building and row >= 0:
+            self.props.show_row(row)
+
+    # -------------- optimization-variable request --------------
+
+    def _add_variable(self):
+        """Send the selected cell to the optimization panel as a variable
+        (reference: lens_editor.py:332-348)."""
+        row = self.table.currentRow()
+        col = self.table.currentColumn()
+        vk = self.model.variable_kwargs(row, col)
+        if vk is None:
+            return
+        var_type, kwargs = vk
+        self.connector.variableRequested.emit(var_type, kwargs)
+
     # -------------- context menu --------------
 
     def _context_menu(self, pos):
@@ -225,4 +303,13 @@ class LensEditor(QWidget):
         menu.addSeparator()
         menu.addAction("Move up", lambda: self._move(-1))
         menu.addAction("Move down", lambda: self._move(+1))
+        vk = self.model.variable_kwargs(
+            self.table.currentRow(), self.table.currentColumn()
+        )
+        if vk is not None:
+            menu.addSeparator()
+            menu.addAction(
+                f"Add '{vk[0]}' as optimization variable",
+                self._add_variable,
+            )
         menu.exec(self.table.viewport().mapToGlobal(pos))

@@ -54,6 +54,8 @@ class MainWindow(QMainWindow):
         self.connector.opticLoaded.connect(
             lambda: self.statusBar().showMessage("System loaded", 3000)
         )
+        # lens editor "add as optimization variable" -> optimization panel
+        self.connector.variableRequested.connect(self._on_variable_request)
         # surface library warnings as toasts (reference: logging_handler.py)
         install_logging(lambda msg: show_toast(self, msg))
 
@@ -164,6 +166,11 @@ class MainWindow(QMainWindow):
 
         m_tools = bar.addMenu("&Tools")
         m_tools.addAction(a.get("palette"))
+
+    def _on_variable_request(self, var_type, kwargs):
+        self.optimization_panel.add_variable_row(var_type, dict(kwargs))
+        self.panels.raise_panel("optimization")
+        show_toast(self, f"Added {var_type} variable")
 
     # ---------------- file dialogs ----------------
 

@@ -22,6 +22,9 @@ class OptilandConnector(QObject):
     surfaceCountChanged = Signal()
     systemPropertiesChanged = Signal()
     undoStackChanged = Signal()
+    # lens editor -> optimization panel: "add this cell as a variable"
+    # (reference: lens_editor.py:332-348)
+    variableRequested = Signal(str, object)  # var_type, kwargs dict
 
     def __init__(self, optic=None, parent=None):
         super().__init__(parent)

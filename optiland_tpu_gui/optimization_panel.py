@@ -139,6 +139,24 @@ class OptimizationPanel(QWidget):
             combo.addItems(list(type_choices))
             table.setCellWidget(r, 0, combo)
 
+    def add_variable_row(self, var_type: str, kwargs: dict):
+        """Append a pre-filled variable row (the lens editor's
+        'add as optimization variable' action lands here via the
+        connector's variableRequested signal)."""
+        from optiland_tpu.services.view_models import OptimizationPanelModel
+
+        self._add_row(
+            self.variable_table,
+            type_choices=OptimizationPanelModel.variable_types(),
+        )
+        r = self.variable_table.rowCount() - 1
+        combo = self.variable_table.cellWidget(r, 0)
+        if combo is not None:
+            combo.setCurrentText(var_type)
+        surf = kwargs.get("surface_number")
+        if surf is not None:
+            self.variable_table.item(r, 1).setText(str(int(surf)))
+
     def _type_at(self, table, r):
         w = table.cellWidget(r, 0)
         if w is not None:

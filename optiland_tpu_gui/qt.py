@@ -25,6 +25,7 @@ try:
         QDoubleSpinBox,
         QFileDialog,
         QFormLayout,
+        QGroupBox,
         QHBoxLayout,
         QHeaderView,
         QLabel,

@@ -1,11 +1,18 @@
 """Ctrl+Shift+P style command palette
 (reference: optiland_gui/widgets/command_palette.py).
 
-A frameless popup with a filter line-edit over the registered command
-list; Enter runs the highlighted command.
+Registry, fuzzy subsequence matching with word-start bonuses, ranking,
+and error-capturing execution live in the headless
+``services.view_models.CommandPaletteModel`` (tested in
+tests/test_view_models_r5.py). This widget is a frameless popup binding
+a filter line-edit + list view to it; Enter runs the highlighted
+command, execution errors surface as a toast instead of raising into
+the event loop.
 """
 
 from __future__ import annotations
+
+from optiland_tpu.services.view_models import CommandPaletteModel
 
 from optiland_tpu_gui.qt import (
     QLineEdit,
@@ -22,7 +29,8 @@ class CommandPalette(QWidget):
         self.setWindowFlags(
             Qt.WindowType.Popup | Qt.WindowType.FramelessWindowHint
         )
-        self._commands: list[tuple[str, object]] = []
+        self.model = CommandPaletteModel()
+        self._filtered = []
 
         self.search = QLineEdit(self)
         self.search.setPlaceholderText("Type a command...")
@@ -37,8 +45,9 @@ class CommandPalette(QWidget):
         layout.addWidget(self.listbox)
         self.resize(420, 320)
 
-    def register(self, name: str, callback):
-        self._commands.append((name, callback))
+    def register(self, name: str, callback, shortcut: str = "",
+                 category: str = ""):
+        self.model.register(name, callback, shortcut, category)
 
     def open(self):
         self.search.clear()
@@ -47,11 +56,15 @@ class CommandPalette(QWidget):
         self.search.setFocus()
 
     def _filter(self, text):
-        text = text.lower()
+        self._filtered = self.model.filter(text)
         self.listbox.clear()
-        for name, _ in self._commands:
-            if text in name.lower():
-                self.listbox.addItem(name)
+        for cmd in self._filtered:
+            label = cmd.label
+            if cmd.category:
+                label = f"{cmd.category}: {label}"
+            if cmd.shortcut:
+                label = f"{label}\t{cmd.shortcut}"
+            self.listbox.addItem(label)
         if self.listbox.count():
             self.listbox.setCurrentRow(0)
 
@@ -61,9 +74,11 @@ class CommandPalette(QWidget):
             self._run_item(item)
 
     def _run_item(self, item):
-        name = item.text()
+        row = self.listbox.row(item)
         self.hide()
-        for cmd, cb in self._commands:
-            if cmd == name:
-                cb()
-                return
+        if 0 <= row < len(self._filtered):
+            err = self.model.execute(self._filtered[row])
+            if err:
+                from optiland_tpu_gui.widgets.toast import show_toast
+
+                show_toast(self.parent() or self, err)
