@@ -97,8 +97,13 @@ def _sag_even_asphere(radius, conic, coeffs, p1, p2, x, y, aux=None):
 
 
 def _sag_odd_asphere(radius, conic, coeffs, p1, p2, x, y, aux=None):
-    r = jnp.sqrt(x**2 + y**2)
-    z = _conic_sag(radius, conic, x**2 + y**2)
+    # safe-sqrt double-where: sqrt(x^2+y^2)'s AD is NaN at the exact
+    # origin; the reference's normal there is 0 (a vertex is treated as
+    # slope-free), so guard the radicand and pin the origin's sag term
+    r2 = x**2 + y**2
+    at0 = r2 == 0
+    r = jnp.where(at0, 0.0, jnp.sqrt(jnp.where(at0, 1.0, r2)))
+    z = _conic_sag(radius, conic, r2)
     acc = jnp.zeros_like(x)
     for i in range(coeffs.shape[0] - 1, -1, -1):
         acc = acc * r + coeffs[i]
@@ -157,10 +162,14 @@ def _sag_zernike(radius, conic, coeffs, p1, p2, x, y, aux=None):
     from optiland_tpu.zernike import ZERNIKE_CLASSES
 
     scheme = (aux or ("standard",))[0]
-    z = _conic_sag(radius, conic, x**2 + y**2)
+    r2 = x**2 + y**2
+    z = _conic_sag(radius, conic, r2)
     zern = ZERNIKE_CLASSES[scheme](coeffs=coeffs)
-    rho = jnp.sqrt(x**2 + y**2) / p1
-    phi = jnp.arctan2(y, x)
+    # safe sqrt/atan2 at the exact origin: their AD is NaN there, and the
+    # reference reports a slope-free vertex (normal (0, 0, -1))
+    at0 = r2 == 0
+    rho = jnp.where(at0, 0.0, jnp.sqrt(jnp.where(at0, 1.0, r2))) / p1
+    phi = jnp.arctan2(y, jnp.where(at0, 1.0, x))
     return z + zern.poly(rho, phi)
 
 
