@@ -259,11 +259,12 @@ def bench_huygens():
     )
 
 
-# Reference-class Huygens summation rate on this host's CPU (torch chunked
-# pairwise math, the reference's fastest non-numba strategy; measured by
-# tools/measure_huygens_ref.py on 2026-08-20).
+# Reference-class Huygens summation rate on this host's CPU: 3.34e7
+# terms/s (torch chunked pairwise math, the reference's fastest
+# non-numba strategy; measured uncontended by
+# tools/measure_huygens_ref.py on 2026-08-20, 4 threads).
 HUYGENS_BASELINE_TERMS_PER_S = float(
-    os.environ.get("BENCH_HUYGENS_BASELINE", 2.6e8)
+    os.environ.get("BENCH_HUYGENS_BASELINE", 3.34e7)
 )
 
 

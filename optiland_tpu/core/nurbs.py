@@ -21,9 +21,11 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
-def basis_matrix(knots: tuple, n: int, p: int, u):
-    """(n+1, Q) basis values N_{i,p}(u) via Cox-de Boor
-    (reference: nurbs_basis_functions.py:30-82)."""
+def basis_list(knots: tuple, n: int, p: int, u):
+    """Cox-de Boor basis values N_{i,p}(u) as a LIST of arrays shaped like
+    ``u`` (reference: nurbs_basis_functions.py:30-82). The list form keeps
+    every intermediate 2-D inside TPU Pallas kernels (no (n+1, ...) stack),
+    and is what the fused trace kernel consumes."""
     U = knots
     m = n + p + 1
     N = []
@@ -46,7 +48,13 @@ def basis_matrix(knots: tuple, n: int, p: int, u):
                 n2 = (U[i + k + 1] - u) / (U[i + k + 1] - U[i + 1]) * N[i + 1]
             Nk.append(n1 + n2)
         N = Nk
-    return jnp.stack(N[: n + 1])
+    return N[: n + 1]
+
+
+def basis_matrix(knots: tuple, n: int, p: int, u):
+    """(n+1, Q) basis values N_{i,p}(u) via Cox-de Boor
+    (reference: nurbs_basis_functions.py:30-82)."""
+    return jnp.stack(basis_list(knots, n, p, u))
 
 
 def nurbs_eval(P, W, aux, u, v):

@@ -703,9 +703,17 @@ def _tmm_eligible(stack, system, wavelength=None) -> bool:
             [stack.incident_material, stack.substrate_material]
             + [l.material for l in stack.layers]
         )
-        ns_c = [complex(_np.ravel(_np.asarray(
-            m.n(wl), dtype=complex))[0]) for m in media]
-        ks = [float(_np.ravel(_np.asarray(m.k(wl)))[0]) for m in media]
+        # ensure_compile_time_eval: material n/k of CONSTANT stacks must
+        # evaluate concretely even while an outer jit is tracing —
+        # otherwise the jnp dispersion math stages to tracers, the
+        # conversion below raises, and the stack silently degrades to
+        # "unsupported" exactly when called from a jitted merit (which is
+        # how every optimizer/bench step calls it; latent in round 4,
+        # exposed by round 5's kernel-eligibility raise)
+        with jax.ensure_compile_time_eval():
+            ns_c = [complex(_np.ravel(_np.asarray(
+                m.n(wl), dtype=complex))[0]) for m in media]
+            ks = [float(_np.ravel(_np.asarray(m.k(wl)))[0]) for m in media]
     except (TypeError, jax.errors.TracerArrayConversionError):
         return False
     if any(abs(k) > 1e-12 for k in ks):
@@ -775,19 +783,24 @@ def build_coat_table(system, wavelength):
         elif _kind_name(kind) == "tmm":
             st = c.stack
             wlf = float(wavelength)
-            vals = [
-                float(_np.real(_np.ravel(_np.asarray(
-                    st.incident_material.n(wlf), dtype=complex))[0])),
-                float(_np.real(_np.ravel(_np.asarray(
-                    st.substrate_material.n(wlf), dtype=complex))[0])),
-            ]
-            for layer in st.layers:
-                vals.append(float(_np.real(_np.ravel(_np.asarray(
-                    layer.material.n(wlf), dtype=complex))[0])))
-                # pre-fold 2*pi/lambda into the thickness column
-                vals.append(
-                    2.0 * float(np.pi) * float(layer.thickness_um) / wlf
-                )
+            # the stack's materials are constants outside the traced
+            # pytree: evaluate their dispersion concretely even when an
+            # outer jit is tracing (same rationale as _tmm_eligible)
+            with jax.ensure_compile_time_eval():
+                vals = [
+                    float(_np.real(_np.ravel(_np.asarray(
+                        st.incident_material.n(wlf), dtype=complex))[0])),
+                    float(_np.real(_np.ravel(_np.asarray(
+                        st.substrate_material.n(wlf), dtype=complex))[0])),
+                ]
+                for layer in st.layers:
+                    vals.append(float(_np.real(_np.ravel(_np.asarray(
+                        layer.material.n(wlf), dtype=complex))[0])))
+                    # pre-fold 2*pi/lambda into the thickness column
+                    vals.append(
+                        2.0 * float(np.pi) * float(layer.thickness_um)
+                        / wlf
+                    )
             rows.append(jnp.asarray(vals, dt))
         else:
             rows.append(jnp.zeros((0,), dt))

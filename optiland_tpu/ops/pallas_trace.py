@@ -26,11 +26,15 @@ index table; polychromatic bundles (trace_fast_poly) carry the wavelength
 as a ray array and evaluate each glass's dispersion formula in-kernel.
 
 Grating diffraction runs in-kernel (the m*wavelength product rides the
-P_MLAM param column, so order/wavelength stay data). Unsupported (falls
-back to the XLA path): grid-sag / NURBS geometries (gather-based sag),
-thin-lens/phase interaction models, physical aperture objects,
-coatings/BSDFs/polarization, gratings in the polychromatic mode, and
-absorption in the polychromatic mode.
+P_MLAM param column, so order/wavelength stay data). NURBS surfaces run
+in-kernel too: the two-plane parameter Newton of Martin et al. with the
+control net read from SMEM scalars and the normal extracted from the
+converged (u, v) tangents (reduced tile heights — see TILE_ROWS_*_NURBS).
+Unsupported (falls back to the XLA path): grid-sag geometry (its
+closed-form cell solve rides MXU matmuls on the XLA path; in-kernel it
+would need per-lane gathers), thin-lens/phase interaction models,
+physical aperture objects, coatings/BSDFs/polarization, gratings in the
+polychromatic mode, and absorption in the polychromatic mode.
 
 (reference for semantics: optiland/surfaces/standard_surface.py:200-248,
 geometries/newton_raphson.py:119-168, rays/real_rays.py:163-205)
@@ -99,13 +103,31 @@ LANE = 128
 ) = range(15)
 NUM_P = 15
 
-# Geometry families the kernels cover (all closed-form or Newton-from-sag;
-# grid/NURBS need gathers that do not lower well on TPU).
+# Geometry families the kernels cover: closed-form, Newton-from-sag, or
+# (NURBS) the two-plane parameter solve with SMEM control nets. Grid sag
+# stays on the XLA path (its closed-form cell solve rides MXU matmuls
+# there; in-kernel it would need per-lane gathers).
 OK_CODES = frozenset({
     geom.PLANE, geom.STANDARD, geom.EVEN_ASPHERE, geom.ODD_ASPHERE,
     geom.POLYNOMIAL_XY, geom.CHEBYSHEV, geom.ZERNIKE_SAG, geom.TOROIDAL,
-    geom.BICONIC, geom.FORBES_QBFS, geom.FORBES_Q2D,
+    geom.BICONIC, geom.FORBES_QBFS, geom.FORBES_Q2D, geom.NURBS,
 })
+
+# NURBS chains keep (nu + nv + ~8) live tile arrays through the unrolled
+# 2x2 Newton and its in-kernel VJP: cap the tiles well below the generic
+# ones so scoped VMEM fits.
+TILE_ROWS_FWD_NURBS = 128
+TILE_ROWS_BWD_NURBS = 32  # also the PRNG SUB_ROWS multiple floor
+
+
+def _fwd_cap(spec) -> int:
+    return TILE_ROWS_FWD_NURBS if geom.NURBS in spec[0] else TILE_ROWS_FWD
+
+
+def _bwd_cap(spec, poly=False) -> int:
+    if geom.NURBS in spec[0]:
+        return TILE_ROWS_BWD_NURBS
+    return TILE_ROWS_BWD_POLY if poly else TILE_ROWS_BWD
 
 
 def _rot_local(x, y, z, L, M, N, rx, ry, rz):
@@ -127,6 +149,106 @@ def _rot_global(x, y, z, L, M, N, rx, ry, rz):
     x, z, L, N = kernels.rotate_y(x, z, L, N, ry)
     x, y, L, M = kernels.rotate_z(x, y, L, M, rz)
     return x, y, z, L, M, N
+
+
+def _nurbs_eval_tile(getcv, aux, u, v):
+    """Homogeneous NURBS surface point on a ray tile from SMEM control
+    scalars. Same math as core/nurbs.nurbs_eval, but the (4, nu, nv)
+    homogeneous net stays a flat scalar accessor and the basis values a
+    list of tile arrays — every intermediate is 2-D (Mosaic requirement).
+    Flat layout matches core/nurbs.unpack_pw: P[d, i, j] at
+    d*nu*nv + i*nv + j, W at 3*nu*nv + i*nv + j."""
+    from optiland_tpu.core import nurbs as _nurbs
+
+    _, nu, nv, p, q, uk, vk = aux
+    Bu = _nurbs.basis_list(uk, nu - 1, p, u)
+    Bv = _nurbs.basis_list(vk, nv - 1, q, v)
+    npw = nu * nv
+    Sx = Sy = Sz = Sw = None
+    for i in range(nu):
+        for j in range(nv):
+            b = Bu[i] * Bv[j]
+            wb = getcv(3 * npw + i * nv + j) * b
+            tx = getcv(0 * npw + i * nv + j) * wb
+            ty = getcv(1 * npw + i * nv + j) * wb
+            tz = getcv(2 * npw + i * nv + j) * wb
+            if Sx is None:
+                Sx, Sy, Sz, Sw = tx, ty, tz, wb
+            else:
+                Sx, Sy, Sz, Sw = Sx + tx, Sy + ty, Sz + tz, Sw + wb
+    w_safe = jnp.where(Sw == 0, 1.0, Sw)
+    return Sx / w_safe, Sy / w_safe, Sz / w_safe
+
+
+def _nurbs_intersect_tile(getcv, aux, x, y, z, L, M, N, iters):
+    """Two-plane NURBS ray intersection + tangent-product normal on a
+    tile (port of core/nurbs.intersect — Martin et al. — to kernel form;
+    identical formulation so the CPU-interpret parity tests compare the
+    same algorithm). Implicit-function-theorem gradient: the Newton loop
+    is stop-gradiented and one differentiable correction closes it."""
+    mask = (L > M) & (L > N)
+    hyp1 = jnp.sqrt(L * L + M * M)
+    hyp2 = jnp.sqrt(N * N + M * M)
+    hyp1 = jnp.where(hyp1 == 0, 1.0, hyp1)
+    hyp2 = jnp.where(hyp2 == 0, 1.0, hyp2)
+    N1x = jnp.where(mask, M / hyp1, 0.0)
+    N1y = jnp.where(mask, -L / hyp1, N / hyp2)
+    N1z = jnp.where(mask, 0.0, -M / hyp2)
+    N2x = N1y * N - N1z * M
+    N2y = N1z * L - N1x * N
+    N2z = N1x * M - N1y * L
+    d1 = -(N1x * x + N1y * y + N1z * z)
+    d2 = -(N2x * x + N2y * y + N2z * z)
+
+    def residual(u, v):
+        Sx, Sy, Sz = _nurbs_eval_tile(getcv, aux, u, v)
+        return (N1x * Sx + N1y * Sy + N1z * Sz + d1,
+                N2x * Sx + N2y * Sy + N2z * Sz + d2)
+
+    def newton_step(u, v):
+        (f1, f2), (df1_du, df2_du) = jax.jvp(
+            residual, (u, v), (jnp.ones_like(u), jnp.zeros_like(v))
+        )
+        _, (df1_dv, df2_dv) = jax.jvp(
+            residual, (u, v), (jnp.zeros_like(u), jnp.ones_like(v))
+        )
+        det = df1_du * df2_dv - df1_dv * df2_du
+        det = jnp.where(jnp.abs(det) < 1e-14, 1e-14, det)
+        du = (f1 * df2_dv - f2 * df1_dv) / det
+        dv = (f2 * df1_du - f1 * df2_du) / det
+        return jnp.clip(u - du, 0.0, 1.0), jnp.clip(v - dv, 0.0, 1.0)
+
+    # bounding-box parameter guess from the corner control points
+    nu, nv = aux[1], aux[2]
+    npw = nu * nv
+    x0, x1 = getcv(0), getcv(npw - 1)
+    y0, y1 = getcv(npw), getcv(2 * npw - 1)
+    u = jnp.clip(
+        (x - x0) / jnp.where(x1 - x0 == 0, 1.0, x1 - x0), 0.0, 1.0
+    )
+    v = jnp.clip(
+        (y - y0) / jnp.where(y1 - y0 == 0, 1.0, y1 - y0), 0.0, 1.0
+    )
+    for _ in range(iters):
+        u, v = newton_step(u, v)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    u, v = newton_step(u, v)
+
+    Sx, Sy, Sz = _nurbs_eval_tile(getcv, aux, u, v)
+    t = jnp.sqrt((Sx - x) ** 2 + (Sy - y) ** 2 + (Sz - z) ** 2)
+
+    eval_uv = lambda uu, vv: _nurbs_eval_tile(getcv, aux, uu, vv)
+    _, Su = jax.jvp(eval_uv, (u, v), (jnp.ones_like(u), jnp.zeros_like(v)))
+    _, Sv = jax.jvp(eval_uv, (u, v), (jnp.zeros_like(u), jnp.ones_like(v)))
+    nx = Su[1] * Sv[2] - Su[2] * Sv[1]
+    ny = Su[2] * Sv[0] - Su[0] * Sv[2]
+    nz = Su[0] * Sv[1] - Su[1] * Sv[0]
+    mag = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    mag = jnp.where(mag == 0, 1.0, mag)
+    nx, ny, nz = nx / mag, ny / mag, nz / mag
+    flip = jnp.sign(jnp.where(nz == 0, 1.0, -nz))
+    return t, (nx * flip, ny * flip, nz * flip)
 
 
 def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
@@ -166,11 +288,17 @@ def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
         rx, ry, rz = getp(s, P_RX), getp(s, P_RY), getp(s, P_RZ)
         x, y, zl, L, M, N = _rot_local(x, y, zl, L, M, N, rx, ry, rz)
 
-    # ---- intersect: closed form for plane/conic, AD-Newton otherwise ----
+    # ---- intersect: closed form for plane/conic, two-plane parameter
+    # solve for NURBS (yields the normal too), AD-Newton otherwise ----
+    nurbs_normal = None
     if code == geom.PLANE:
         t = geom._distance_plane(x, y, zl, L, M, N)
     elif code == geom.STANDARD:
         t = geom._distance_standard(radius, conic, x, y, zl, L, M, N)
+    elif code == geom.NURBS:
+        t, nurbs_normal = _nurbs_intersect_tile(
+            lambda ci: getc(s, ci), aux, x, y, zl, L, M, N, newton_iters
+        )
     else:
         t0 = geom._distance_standard(radius, conic, x, y, zl, L, M, N)
         t0 = jnp.where(
@@ -211,10 +339,14 @@ def _step_tile(s, code, reflective, tilted, aux, getp, getc, nc, state,
         ap_min = getp(s, P_APMIN)
         inten = jnp.where(r2 < ap_min * ap_min, 0.0, inten)
 
-    # ---- normal (shared geometry code: AD of the sag) ----
-    nx, ny, nz = geom.surface_normal_static(
-        code, radius, conic, cvec, x, y, p1=p1, p2=p2, aux=aux
-    )
+    # ---- normal (shared geometry code: AD of the sag; NURBS reuses the
+    # intersect solve's converged parameter point) ----
+    if nurbs_normal is not None:
+        nx, ny, nz = nurbs_normal
+    else:
+        nx, ny, nz = geom.surface_normal_static(
+            code, radius, conic, cvec, x, y, p1=p1, p2=p2, aux=aux
+        )
 
     # ---- interact ----
     nx0, ny0, nz0 = nx, ny, nz  # raw normal (groove-frame cross products)
@@ -443,7 +575,7 @@ def _pad_ray_arrays(arrays, tile_rows, ones_idx=(5,)):
 
 @functools.partial(jax.jit, static_argnames=("spec", "poly"))
 def _pallas_fwd(params, coeffs, mats, ray_arrays, spec, poly):
-    tile = _tile_rows(ray_arrays[0].shape[0], TILE_ROWS_FWD)
+    tile = _tile_rows(ray_arrays[0].shape[0], _fwd_cap(spec))
     arrs, R = _pad_ray_arrays(
         ray_arrays, tile, ones_idx=(5, 8) if poly else (5,)
     )
@@ -564,8 +696,7 @@ def _pallas_bwd(params, coeffs, mats, inputs, cotangents, spec, poly,
     nc, nm = spec[4], spec[7]
     rows_dp = _dp_rows(spec, poly)
     tile = _tile_rows(
-        inputs[0].shape[0],
-        bwd_tile or (TILE_ROWS_BWD_POLY if poly else TILE_ROWS_BWD),
+        inputs[0].shape[0], bwd_tile or _bwd_cap(spec, poly)
     )
     arrs, R = _pad_ray_arrays(
         list(inputs) + list(cotangents), tile,
@@ -688,7 +819,7 @@ def _make_fwd_kernel_field(spec):
 
 @functools.partial(jax.jit, static_argnames=("spec",))
 def _pallas_fwd_field(params, coeffs, mats, aim, Px, Py, spec):
-    tile = _tile_rows(Px.shape[0], TILE_ROWS_FWD)
+    tile = _tile_rows(Px.shape[0], _fwd_cap(spec))
     arrs, R = _pad_ray_arrays([Px, Py], tile, ones_idx=())
     rows = arrs[0].shape[0]
     grid = (rows // tile,)
@@ -773,15 +904,16 @@ def _pallas_bwd_field(params, coeffs, mats, aim, Px, Py, cotangents, spec):
     nc = spec[4]
     total = S * (NUM_P + nc) + N_AIM
     rows_dp = max(8, -(-(-(-total // LANE)) // 8) * 8)  # ceil to 8-row block
+    bwd_tile = _bwd_cap(spec)
     arrs, _R = _pad_ray_arrays(
-        [Px, Py] + list(cotangents), TILE_ROWS_BWD, ones_idx=()
+        [Px, Py] + list(cotangents), bwd_tile, ones_idx=()
     )
     rows = arrs[0].shape[0]
-    grid = (rows // TILE_ROWS_BWD,)
+    grid = (rows // bwd_tile,)
     dtype = arrs[0].dtype
 
     ray_spec = pl.BlockSpec(
-        (TILE_ROWS_BWD, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
+        (bwd_tile, LANE), lambda g: (g, 0), memory_space=pltpu.VMEM
     )
     dp_spec = pl.BlockSpec(
         (rows_dp, LANE), lambda g: (0, 0), memory_space=pltpu.VMEM
@@ -1266,8 +1398,10 @@ def spot_rms_fast_field(system, Hx, Hy, wavelength, num_rays=None,
     mats = jnp.zeros((S, 1), dt)
     params = params.astype(dt)
     aim = aim.astype(dt)
-    fwd_tile = _tile_rows(R, TILE_ROWS_FWD)
-    bwd_tile = bwd_tile or _tile_rows(R, TILE_ROWS_MERIT_BWD)
+    fwd_tile = _tile_rows(R, _fwd_cap(spec))
+    bwd_tile = bwd_tile or _tile_rows(
+        R, min(TILE_ROWS_MERIT_BWD, _bwd_cap(spec))
+    )
     if prng and (fwd_tile % SUB_ROWS or bwd_tile % SUB_ROWS):
         raise ValueError(
             f"PRNG-mode tile heights must be multiples of SUB_ROWS="

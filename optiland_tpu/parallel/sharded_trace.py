@@ -149,8 +149,10 @@ def spot_rms_fast_field_sharded(system, Hx, Hy, wavelength, num_rays=None,
     params = params.astype(dt)
     aim = aim.astype(dt)
     seed_base = jnp.asarray(seed, jnp.int32)
-    fwd_tile = pt._tile_rows(R_local, pt.TILE_ROWS_FWD)
-    bwd_tile = bwd_tile or pt._tile_rows(R_local, pt.TILE_ROWS_MERIT_BWD)
+    fwd_tile = pt._tile_rows(R_local, pt._fwd_cap(spec))
+    bwd_tile = bwd_tile or pt._tile_rows(
+        R_local, min(pt.TILE_ROWS_MERIT_BWD, pt._bwd_cap(spec))
+    )
     nsub_local = R_local // (pt.SUB_ROWS * pt.LANE) if prng else 0
 
     def _seed_arr(seed_b, axis_name):

@@ -349,3 +349,43 @@ def test_pol_tmm_low_index_layer_falls_back():
     st.add_layer(IdealMaterial(1.2), 0.1)  # below incident 1.5
     o = pol_doublet(coat=ThinFilmCoating(st))
     assert not pallas_pol_supported(o.system)
+
+
+def test_tmm_eligibility_survives_jit_tracing():
+    """Regression (round 5): under an outer jit trace, material n/k of a
+    constant ThinFilm stack must still evaluate concretely
+    (ensure_compile_time_eval) — without it the stack silently degraded
+    to an 'unsupported' kind exactly when called from a jitted merit,
+    dropping the coating from the kernel."""
+    import jax
+
+    from optiland_tpu.coatings import ThinFilmCoating
+    from optiland_tpu.materials import IdealMaterial
+    from optiland_tpu.ops.pallas_pol import _coat_kinds
+    from optiland_tpu.optic import Optic
+    from optiland_tpu.thin_film import ThinFilmStack
+
+    st = ThinFilmStack(IdealMaterial(1.0), IdealMaterial(1.52),
+                       reference_wl_um=0.55)
+    st.add_layer_qwot(IdealMaterial(1.38))
+    st.add_layer(IdealMaterial(2.35), 0.08)
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    o.surfaces.add(index=1, radius=50.0, thickness=5.0, material="N-BK7",
+                   is_stop=True, coating=ThinFilmCoating(st))
+    o.surfaces.add(index=2)
+    o.set_aperture("EPD", 10.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.wavelengths.add(0.55, is_primary=True)
+    o.set_polarization("H")
+    system = o.system
+
+    seen = {}
+
+    def probe(stack):
+        seen["kinds"] = _coat_kinds(system.replace(stack=stack), 0.55)
+        return stack.radius.sum()
+
+    jax.jit(probe)(system.stack)
+    assert seen["kinds"][1] == ("tmm", 2)

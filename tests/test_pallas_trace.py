@@ -513,3 +513,68 @@ def test_grating_kernel_period_gradient_matches_xla():
     np.testing.assert_allclose(
         np.asarray(g1.radius)[1:3], np.asarray(g2.radius)[1:3], rtol=1e-9
     )
+
+
+def _nurbs_lens(nn=5):
+    from optiland_tpu.optic import Optic
+
+    xs = np.linspace(-6, 6, nn)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    Z = (X**2 + Y**2) / (2 * 90.0)
+    P = np.stack([X, Y, Z], axis=0)
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    o.surfaces.add(index=1, surface_type="nurbs", thickness=6.0,
+                   material="N-BK7", is_stop=True,
+                   control_points=P.tolist(),
+                   weights=np.ones((nn, nn)).tolist(),
+                   u_degree=3, v_degree=3)
+    o.surfaces.add(index=2, radius=-60.0, thickness=30.0)
+    o.surfaces.add(index=3)
+    o.set_aperture("EPD", 8.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.wavelengths.add(0.55, is_primary=True)
+    return o
+
+
+@pytest.mark.slow  # the in-kernel 2x2 Newton chain's VJP is a large
+# interpret compile (kept small: 4x4 net, 64 rays, 8 iterations);
+# default-tier NURBS kernel coverage: the forward half below
+def test_nurbs_kernel_matches_xla():
+    """In-kernel NURBS (two-plane parameter solve, SMEM control nets)
+    matches the XLA path on a B-spline singlet — forward and control-
+    point gradients."""
+    system = _nurbs_lens(nn=4).system
+    assert pallas_supported(system)
+    rays = _bundle(system, n=64)
+    ref, _ = xla_trace.trace(system, rays, record=False)
+    fast = trace_fast(system, rays, 0.55, newton_iters=8)
+    for name in ("x", "y", "L", "M", "N", "i"):
+        assert_allclose(
+            getattr(fast, name), getattr(ref, name), rtol=1e-7, atol=1e-9
+        )
+
+    def merit(stack, use_kernel):
+        s = system.replace(stack=stack)
+        if use_kernel:
+            out = trace_fast(s, rays, 0.55, newton_iters=8)
+        else:
+            out, _ = xla_trace.trace(s, rays, record=False)
+        return jnp.mean(out.y**2)
+
+    gk = jax.grad(lambda st: merit(st, True))(system.stack)
+    gx = jax.grad(lambda st: merit(st, False))(system.stack)
+    # control points and weights live in the coeff row of surface 1
+    assert_allclose(gk.coeffs[1], gx.coeffs[1], rtol=1e-5, atol=1e-10)
+    assert_allclose(gk.thickness, gx.thickness, rtol=1e-6, atol=1e-12)
+
+
+def test_nurbs_kernel_forward_small():
+    """Default-tier smoke: the NURBS kernel forward lowers in interpret
+    mode and agrees with the XLA trace on a small bundle."""
+    system = _nurbs_lens(nn=4).system
+    rays = _bundle(system, n=96)
+    ref, _ = xla_trace.trace(system, rays, record=False)
+    fast = trace_fast(system, rays, 0.55, newton_iters=12)
+    assert_allclose(fast.y, ref.y, rtol=1e-7, atol=1e-9)

@@ -97,6 +97,20 @@ def main():
         ("bench-nurbs", ["bench.py"], 2400,
          {"BENCH_SYSTEM": "nurbs", "BENCH_RAYS": "4194304",
           "BENCH_ITERS": "3", "BENCH_INNER": "4"}),
+        # full PROFILE.md table refresh (round-5 numbers for every class)
+        ("bench-unfused", ["bench.py"], 2400, {"BENCH_FUSED": "0"}),
+        ("bench-mesh1-unfused", ["bench.py"], 2400,
+         {"BENCH_MESH": "1", "BENCH_FUSED": "0"}),
+        ("bench-tilted-asphere", ["bench.py"], 2400,
+         {"BENCH_SYSTEM": "tilted_asphere"}),
+        ("bench-poly", ["bench.py"], 2400, {"BENCH_SYSTEM": "poly"}),
+        ("bench-polarized", ["bench.py"], 2400,
+         {"BENCH_SYSTEM": "polarized"}),
+        ("bench-polarized-axis", ["bench.py"], 2400,
+         {"BENCH_SYSTEM": "polarized_axis"}),
+        ("bench-polarized-tmm", ["bench.py"], 2400,
+         {"BENCH_SYSTEM": "polarized_tmm"}),
+        ("bench-grating", ["bench.py"], 2400, {"BENCH_SYSTEM": "grating"}),
     ]
     only = os.environ.get("R5_STAGES")
     for tag, argv, tmo, env in stages:
