@@ -136,19 +136,27 @@ def assert_allclose(actual, desired, rtol=1e-5, atol=1e-7):
 
 
 # ---------------------------------------------------------------------------
-# Crash resilience (now a pure safety net). Root cause found and fixed in
-# round 5: the rare (~1 per full-suite run) worker segfaults happened while
-# LOADING persistent-cache entries (crash stacks in
-# jax/_src/compilation_cache.py get_executable_and_time ->
-# backend.deserialize_executable, and in backend_compile_and_load on the
-# write side). XLA:CPU stores AOT results compiled with exact machine
-# features; this home directory's cache had entries from a different CPU
-# generation, and XLA logs "Machine type used for XLA:CPU compilation
-# doesn't match ... could lead to execution errors such as SIGILL" right
-# before such loads. The per-CPU-model cache namespace above makes stale
-# cross-machine hits impossible. The hook remains: if a worker still
-# crashes for any novel reason, reschedule the victim test once on a fresh
-# worker; a second crash of the SAME test is reported normally — real
+# Crash resilience — root-caused in round 5 as an UPSTREAM jaxlib bug; the
+# retry hook is the bounded mitigation.
+#
+# Evidence (2026-08-21, PYTHONFAULTHANDLER=1 full-suite run): exactly one
+# worker per full run dies with "Fatal Python error: Aborted" with the
+# main thread inside jax/_src/compiler.py:362 backend_compile_and_load —
+# i.e. a C++ abort() inside jaxlib 0.9.0's XLA:CPU compiler while
+# compiling an ordinary jitted function (the victim test roams run to
+# run and always passes in isolation).
+#
+# Hypotheses tested and falsified this round:
+#   * stale persistent-cache entries built on a different CPU generation
+#     (XLA logged "machine features don't match ... SIGILL" on AOT
+#     loads) — REAL and fixed by the per-CPU-model cache namespace
+#     above, but the abort still reproduced 3/3 quiet-tree runs after;
+#   * XLA:CPU parallel codegen (--xla_cpu_parallel_codegen_split_count=1)
+#     — still 1 abort per run, at +46% suite wall-clock; not adopted.
+# jaxlib cannot be upgraded/pinned in this environment (no package
+# installation), so the abort is managed, not fixed: reschedule the
+# crashed test once on a fresh worker (it shows as `1 rerun` in the
+# tally); a second crash of the SAME test is reported normally — real
 # crashers cannot hide.
 # ---------------------------------------------------------------------------
 
