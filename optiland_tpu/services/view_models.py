@@ -375,6 +375,7 @@ class AnalysisPanelModel:
     # ---------------- tabs ----------------
 
     def run(self, name: str, **kwargs) -> AnalysisTab:
+        self.remember_settings(name, kwargs)
         rec = self.session.run(name, **kwargs)
         args = ", ".join(f"{k}={v}" for k, v in sorted(kwargs.items()))
         tab = AnalysisTab(
@@ -403,6 +404,54 @@ class AnalysisPanelModel:
             self.active = None
         elif self.active is not None and self.active >= len(self.tabs):
             self.active = len(self.tabs) - 1
+
+    def clone_tab(self, tab_index: int) -> AnalysisTab:
+        """Duplicate a page: run the same analysis with the same stored
+        settings as a NEW tab against the current system (reference:
+        analysis_panel.py:930-951 clone-page context action)."""
+        src = self.tabs[tab_index]
+        return self.run(src.name, **dict(src.record.kwargs))
+
+    # ---------------- last-used settings ----------------
+    # (reference: analysis_panel.py:1050-1103 populate/apply/load)
+
+    def remember_settings(self, name: str, kwargs: dict):
+        self._last_settings = getattr(self, "_last_settings", {})
+        self._last_settings[name] = dict(kwargs)
+
+    def recall_settings(self, name: str) -> dict:
+        return dict(getattr(self, "_last_settings", {}).get(name, {}))
+
+    def save_settings(self, path: str) -> str:
+        """Persist the per-analysis last-used settings to JSON."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                getattr(self, "_last_settings", {}), f, indent=1,
+                default=str,
+            )
+        return path
+
+    def load_settings(self, path: str) -> dict:
+        import json
+
+        with open(path) as f:
+            data = json.load(f)
+        self._last_settings = {
+            str(k): dict(v) for k, v in data.items() if isinstance(v, dict)
+        }
+        return self._last_settings
+
+    # ---------------- plot cursor readout ----------------
+
+    @staticmethod
+    def cursor_readout(x, y) -> str:
+        """Status-bar text under the plot cursor (reference:
+        analysis_panel.py:1005-1016 on_mouse_move_on_plot)."""
+        if x is None or y is None:
+            return ""
+        return f"x={float(x):+.5g}   y={float(y):+.5g}"
 
     # ---------------- export ----------------
 

@@ -41,10 +41,15 @@ def make_canvas():
 
 
 class SettingsForm(QWidget):
-    """Auto-generated form for one analysis's constructor settings."""
+    """Auto-generated TYPED form for one analysis's constructor settings
+    (reference: analysis_panel.py:485-733 — spin boxes for numerics,
+    checkboxes for bools, comboboxes for enumerated strings, line edits
+    for tuples/lists/free text)."""
 
     def __init__(self, schema, parent=None):
         super().__init__(parent)
+        from optiland_tpu_gui.qt import QDoubleSpinBox, QSpinBox
+
         self.schema = schema
         self.editors = {}
         form = QFormLayout(self)
@@ -58,6 +63,15 @@ class SettingsForm(QWidget):
                 w.addItems([str(c) for c in f.choices])
                 if f.default is not None:
                     w.setCurrentText(str(f.default))
+            elif f.kind == "int" and f.default is not None:
+                w = QSpinBox(self)
+                w.setRange(-(2**30), 2**30)
+                w.setValue(int(f.default))
+            elif f.kind == "float" and f.default is not None:
+                w = QDoubleSpinBox(self)
+                w.setRange(-1e12, 1e12)
+                w.setDecimals(6)
+                w.setValue(float(f.default))
             else:
                 w = QLineEdit(self)
                 if f.default is not None:
@@ -71,11 +85,23 @@ class SettingsForm(QWidget):
 
     def values(self) -> dict:
         """Settings dict, omitting fields left at their defaults."""
+        from optiland_tpu_gui.qt import QDoubleSpinBox, QSpinBox
+
         out = {}
         for name, (f, w) in self.editors.items():
             if isinstance(w, QCheckBox):
                 val = w.isChecked()
                 if bool(f.default) != val:
+                    out[name] = val
+                continue
+            if isinstance(w, QSpinBox):
+                val = int(w.value())
+                if f.default is None or val != int(f.default):
+                    out[name] = val
+                continue
+            if isinstance(w, QDoubleSpinBox):
+                val = float(w.value())
+                if f.default is None or val != float(f.default):
                     out[name] = val
                 continue
             if isinstance(w, QComboBox):
@@ -92,6 +118,29 @@ class SettingsForm(QWidget):
                     continue
             out[name] = val
         return out
+
+    def apply_values(self, kwargs: dict):
+        """Populate the form from a stored settings dict (reference:
+        analysis_panel.py:1061-1082 _apply_loaded_settings_to_ui)."""
+        from optiland_tpu_gui.qt import QDoubleSpinBox, QSpinBox
+
+        for name, val in kwargs.items():
+            pair = self.editors.get(name)
+            if pair is None:
+                continue
+            _, w = pair
+            if isinstance(w, QCheckBox):
+                w.setChecked(bool(val))
+            elif isinstance(w, QSpinBox):
+                w.setValue(int(val))
+            elif isinstance(w, QDoubleSpinBox):
+                w.setValue(float(val))
+            elif isinstance(w, QComboBox):
+                w.setCurrentText(str(val))
+            elif isinstance(val, (tuple, list)):
+                w.setText(", ".join(str(v) for v in val))
+            else:
+                w.setText(str(val))
 
 
 class AnalysisPanel(QWidget):
@@ -128,9 +177,28 @@ class AnalysisPanel(QWidget):
         self._form_host = QVBoxLayout()
         self.form: SettingsForm | None = None
 
+        self.save_settings_btn = QPushButton("Save settings…", self)
+        self.save_settings_btn.clicked.connect(self._save_settings)
+        self.load_settings_btn = QPushButton("Load settings…", self)
+        self.load_settings_btn.clicked.connect(self._load_settings)
+        top.addWidget(self.save_settings_btn)
+        top.addWidget(self.load_settings_btn)
+
         self.tabs = QTabWidget(self)
         self.tabs.setTabsClosable(True)
         self.tabs.tabCloseRequested.connect(self._close_tab)
+        # clone/re-run/export context menu on the page bar (reference:
+        # analysis_panel.py:915-971)
+        from optiland_tpu_gui.qt import Qt as _Qt
+
+        self.tabs.tabBar().setContextMenuPolicy(
+            _Qt.ContextMenuPolicy.CustomContextMenu
+        )
+        self.tabs.tabBar().customContextMenuRequested.connect(
+            self._tab_context_menu
+        )
+
+        self.readout = QLabel("", self)
 
         self.log = QPlainTextEdit(self)
         self.log.setReadOnly(True)
@@ -140,6 +208,7 @@ class AnalysisPanel(QWidget):
         layout.addLayout(top)
         layout.addLayout(self._form_host)
         layout.addWidget(self.tabs, 1)
+        layout.addWidget(self.readout)
         layout.addWidget(self.log)
         self._rebuild_form(self.combo.currentText())
 
@@ -153,7 +222,78 @@ class AnalysisPanel(QWidget):
         if not name:
             return
         self.form = SettingsForm(self.session.schema(name), self)
+        # repopulate from the last-used settings for this analysis
+        recalled = self.model.recall_settings(name)
+        if recalled:
+            self.form.apply_values(recalled)
         self._form_host.addWidget(self.form)
+
+    def _save_settings(self):
+        path, _ = QFileDialog.getSaveFileName(
+            self, "Save analysis settings", "analysis_settings.json",
+            "JSON (*.json)",
+        )
+        if path:
+            self.model.save_settings(path)
+            self.log.appendPlainText(f"settings saved: {path}")
+
+    def _load_settings(self):
+        path, _ = QFileDialog.getOpenFileName(
+            self, "Load analysis settings", "", "JSON (*.json)"
+        )
+        if path:
+            self.model.load_settings(path)
+            self._rebuild_form(self.combo.currentText())
+            self.log.appendPlainText(f"settings loaded: {path}")
+
+    # ---------------- page context menu ----------------
+
+    def _tab_context_menu(self, pos):
+        from optiland_tpu_gui.qt import QMenu
+
+        idx = self.tabs.tabBar().tabAt(pos)
+        if idx < 0:
+            return
+        menu = QMenu(self)
+        menu.addAction("Clone page", lambda: self._clone_tab(idx))
+        menu.addAction(
+            "Re-run against current system",
+            lambda: (self.tabs.setCurrentIndex(idx),
+                     self.rerun_current_tab()),
+        )
+        menu.addAction(
+            "Export PNG…",
+            lambda: (self.tabs.setCurrentIndex(idx), self.export_png()),
+        )
+        menu.addAction("Close page", lambda: self._close_tab(idx))
+        menu.exec(self.tabs.tabBar().mapToGlobal(pos))
+
+    def _clone_tab(self, idx):
+        tab = self.model.clone_tab(idx)
+        rec = tab.record
+        if rec.error is not None:
+            self.model.close_tab(len(self.model.tabs) - 1)
+            self.log.appendPlainText(f"clone failed: {rec.error}")
+            return
+        canvas, figure = make_canvas()
+        self._draw(rec.result, figure)
+        self._attach_readout(canvas)
+        canvas.draw_idle()
+        self.tabs.addTab(canvas, tab.title)
+        self.tabs.setCurrentIndex(self.tabs.count() - 1)
+
+    # ---------------- plot cursor readout ----------------
+
+    def _attach_readout(self, canvas):
+        canvas.mpl_connect("motion_notify_event", self._on_plot_move)
+
+    def _on_plot_move(self, event):
+        if event.inaxes is None:
+            self.readout.setText("")
+            return
+        self.readout.setText(
+            self.model.cursor_readout(event.xdata, event.ydata)
+        )
 
     # ---------------- running ----------------
 
@@ -173,6 +313,7 @@ class AnalysisPanel(QWidget):
             return None
         canvas, figure = make_canvas()
         self._draw(rec.result, figure)
+        self._attach_readout(canvas)
         canvas.draw_idle()
         self.tabs.addTab(canvas, tab.title)
         self.tabs.setCurrentIndex(self.tabs.count() - 1)
@@ -191,6 +332,7 @@ class AnalysisPanel(QWidget):
         tab = self.model.rerun(idx)
         canvas, figure = make_canvas()
         self._draw(tab.record.result, figure)
+        self._attach_readout(canvas)
         canvas.draw_idle()
         old = self.tabs.widget(idx)
         self.tabs.removeTab(idx)

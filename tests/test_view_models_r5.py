@@ -228,6 +228,43 @@ class TestLensEditorProperties:
         assert asph.variable_kwargs(1, headers.index("Comment")) is None
 
 
+class TestAnalysisPanelPages:
+    """Round-5 page management + settings persistence (reference:
+    analysis_panel.py:915-971 clone/remove, :1050-1103 settings)."""
+
+    @pytest.fixture()
+    def panel(self, conn):
+        from optiland_tpu.services.view_models import AnalysisPanelModel
+
+        return AnalysisPanelModel(conn)
+
+    def test_clone_tab_reruns_same_settings(self, panel):
+        panel.run("SpotDiagram", num_rings=3)
+        tab2 = panel.clone_tab(0)
+        assert len(panel.tabs) == 2
+        assert tab2.name == "SpotDiagram"
+        assert tab2.record.kwargs == {"num_rings": 3}
+        assert tab2.record.error is None
+
+    def test_run_remembers_and_recalls_settings(self, panel):
+        panel.run("SpotDiagram", num_rings=4)
+        assert panel.recall_settings("SpotDiagram") == {"num_rings": 4}
+        assert panel.recall_settings("RayFan") == {}
+
+    def test_settings_roundtrip_json(self, panel, tmp_path):
+        panel.remember_settings("SpotDiagram", {"num_rings": 5})
+        panel.remember_settings("RayFan", {"num_points": 11})
+        p = panel.save_settings(str(tmp_path / "s.json"))
+        fresh_settings = panel.load_settings(p)
+        assert fresh_settings["SpotDiagram"] == {"num_rings": 5}
+        assert fresh_settings["RayFan"] == {"num_points": 11}
+
+    def test_cursor_readout(self, panel):
+        assert panel.cursor_readout(None, 1.0) == ""
+        txt = panel.cursor_readout(0.25, -3.0)
+        assert "x=+0.25" in txt and "y=-3" in txt
+
+
 class TestToastModel:
     def test_push_drain_and_limit(self):
         toasts = ToastModel(limit=3)
