@@ -1104,6 +1104,14 @@ class Optic:
     def paraxial(self) -> ParaxialView:
         return ParaxialView(self)
 
+    @property
+    def aberrations(self):
+        """Third-order aberration view (reference API parity:
+        Optic.aberrations, optic/optic.py:111-129)."""
+        from optiland_tpu.aberrations import Aberrations
+
+        return Aberrations(self)
+
     def draw(self, **kwargs):
         """2D cross-section with traced rays
         (reference: Optic.draw, optic/optic.py:566)."""
