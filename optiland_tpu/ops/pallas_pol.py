@@ -67,6 +67,10 @@ from optiland_tpu.ops.pallas_trace import (
 # r4: "Scoped allocation with size 16.75M and limit 16.00M"); 128 fits.
 TILE_ROWS_POL_FWD = 128
 TILE_ROWS_POL_BWD = 32  # 64 rows OOMs scoped VMEM (r4 sweep); 16 -> 32 gave +9%
+# shard_map adds scoped-VMEM overhead (measured on the generic adjoint,
+# r4: 64 rows OOMed at 17.35M/16M under shard_map while fitting bare);
+# the polarized adjoint under shard_map ships one step smaller
+TILE_ROWS_POL_BWD_SHARDED = 16
 
 N_COAT = 4  # minimum per-surface coating-scalar columns:
 #   fresnel   (n1, n2, 0, 0)    simple (T, R, 0, 0)
@@ -592,15 +596,17 @@ def _make_bwd_kernel_pol(spec, coat_kinds, pol_scalars=None,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "coat_kinds", "pol_scalars", "intensity"),
+    static_argnames=("spec", "coat_kinds", "pol_scalars", "intensity",
+                     "bwd_tile"),
 )
 def _pallas_bwd_pol(params, coeffs, coat, inputs, cotangents, spec,
-                    coat_kinds, pol_scalars=None, intensity=False):
+                    coat_kinds, pol_scalars=None, intensity=False,
+                    bwd_tile=None):
     S = len(spec[0])
     nc = spec[4]
     ncoat = _ncoat_of(coat_kinds)
     rows_dp = _dp_rows_pol(spec, ncoat)
-    tile = _tile_rows(inputs[0].shape[0], TILE_ROWS_POL_BWD)
+    tile = _tile_rows(inputs[0].shape[0], bwd_tile or TILE_ROWS_POL_BWD)
     arrs, R = _pad_ray_arrays(list(inputs) + list(cotangents), tile)
     rows = arrs[0].shape[0]
     grid = (rows // tile,)
@@ -892,7 +898,8 @@ def _pol_scalars_of(state):
 
 
 def trace_fast_pol_intensity(system, rays, wavelength, state=None,
-                             newton_iters: int = 10):
+                             newton_iters: int = 10,
+                             bwd_tile: int | None = None):
     """Fused polarized trace with the exit intensity computed in-kernel.
 
     Equivalent to ``trace_fast_pol`` followed by
@@ -942,7 +949,7 @@ def trace_fast_pol_intensity(system, rays, wavelength, state=None,
         ray_grads, dparams, dcoeffs, dcoat = _pallas_bwd_pol(
             params, coeffs, coat, tuple(ray_in), tuple(g),
             spec=spec, coat_kinds=coat_kinds,
-            pol_scalars=pol_scalars, intensity=True,
+            pol_scalars=pol_scalars, intensity=True, bwd_tile=bwd_tile,
         )
         if dcoeffs.shape != coeffs.shape:
             dcoeffs = jnp.zeros_like(coeffs).at[

@@ -219,6 +219,45 @@ def spot_rms_fast_field_sharded(system, Hx, Hy, wavelength, num_rays=None,
     return _loss(params, coeffs, aim)
 
 
+def trace_fast_pol_sharded(system, rays, wavelength, state=None,
+                           mesh=None, newton_iters: int = 10,
+                           axis: str = "rays"):
+    """Data-parallel fused POLARIZED trace over a device mesh: each
+    device runs trace_fast_pol_intensity (Jones/TMM update + in-kernel
+    exit intensity) on its ray shard; the system is replicated and
+    shard_map's transpose psums the parameter cotangents — the same
+    pattern as trace_fast_sharded, for polarized systems."""
+    from optiland_tpu.ops.pallas_pol import (
+        TILE_ROWS_POL_BWD_SHARDED,
+        trace_fast_pol_intensity,
+    )
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    if rays.x.shape[0] % n_dev != 0:
+        raise ValueError(
+            f"Ray count {rays.x.shape[0]} must be divisible by the mesh "
+            f"size {n_dev}; pad with pad_to_multiple()."
+        )
+
+    def local(sys_, rays_):
+        return trace_fast_pol_intensity(
+            sys_, rays_, wavelength, state=state,
+            newton_iters=newton_iters,
+            bwd_tile=TILE_ROWS_POL_BWD_SHARDED,
+        )
+
+    fn = _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(_replicated_specs(system), _ray_specs(rays, axis)),
+        out_specs=_ray_specs(rays, axis),
+        check_vma=False,
+    )
+    return fn(system, rays)
+
+
 def sharded_merit(system, rays, wavelength, mesh=None,
                   newton_iters: int = 10, axis: str = "rays"):
     """Example end-to-end sharded objective: RMS spot radius of the traced
@@ -239,6 +278,7 @@ def sharded_merit(system, rays, wavelength, mesh=None,
 
 __all__ = [
     "trace_fast_sharded",
+    "trace_fast_pol_sharded",
     "spot_rms_fast_field_sharded",
     "sharded_merit",
     "pad_to_multiple",
