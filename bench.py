@@ -324,11 +324,22 @@ def main():
         if use_pol:
             # In-kernel exit intensity: the 18 polarization-matrix channels
             # never leave VMEM (trace_fast_pol_intensity docstring).
-            from optiland_tpu.ops.pallas_pol import trace_fast_pol_intensity
+            if mesh is not None:
+                from optiland_tpu.parallel.sharded_trace import (
+                    trace_fast_pol_sharded,
+                )
 
-            out = trace_fast_pol_intensity(
-                sys_, rays_, WAVELENGTH, state=pol_state
-            )
+                out = trace_fast_pol_sharded(
+                    sys_, rays_, WAVELENGTH, state=pol_state, mesh=mesh
+                )
+            else:
+                from optiland_tpu.ops.pallas_pol import (
+                    trace_fast_pol_intensity,
+                )
+
+                out = trace_fast_pol_intensity(
+                    sys_, rays_, WAVELENGTH, state=pol_state
+                )
             return out.x * out.i, out.y * out.i
         if use_pallas and mesh is not None:
             from optiland_tpu.parallel.sharded_trace import trace_fast_sharded

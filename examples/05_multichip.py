@@ -66,6 +66,45 @@ def main():
             print(f"step {i:3d}: sharded RMS^2 merit = {float(loss):.6e}")
     print("done — XLA inserted the cross-device psum for the mean/grads")
 
+    # ---- the production optimizer step: sharded FUSED merit kernels ----
+    # Each device runs the fused Pallas merit kernels on its ray shard;
+    # only per-tile Chan statistics cross the mesh (all_gather) and the
+    # parameter cotangents psum — O(tiles) of ICI traffic per step. On
+    # TPU pass num_rays=... instead of Px/Py and the pupil samples are
+    # drawn in-kernel (each shard offsets the PRNG sub-block stream so
+    # the mesh jointly draws the single-device sample set). A singlet
+    # keeps the CPU interpret-mode compile of this demo short; on TPU the
+    # same call handles the full system (docs/PROFILE.md table).
+    from optiland_tpu.optic import Optic
+    from optiland_tpu.parallel.sharded_trace import (
+        spot_rms_fast_field_sharded,
+    )
+
+    o = Optic()
+    o.surfaces.add(index=0, radius=np.inf, thickness=np.inf)
+    o.surfaces.add(index=1, radius=60.0, thickness=4.0, material="N-BK7",
+                   is_stop=True)
+    o.surfaces.add(index=2, radius=-120.0, thickness=50.0)
+    o.surfaces.add(index=3)
+    o.set_aperture("EPD", 20.0)
+    o.fields.set_type("angle")
+    o.fields.add(y=0)
+    o.wavelengths.add(0.55, is_primary=True)
+    singlet = jax.device_put(o.system, replicated(mesh))
+
+    def fused_merit(stack):
+        return spot_rms_fast_field_sharded(
+            singlet.replace(stack=stack), 0.0, 0.7, 0.55,
+            Px=Px, Py=Py, mesh=mesh, newton_iters=1,
+        )
+
+    loss, grads = jax.value_and_grad(fused_merit)(singlet.stack)
+    g = np.asarray(grads.radius)
+    print(
+        f"fused sharded merit: loss={float(loss):.6e}, "
+        f"|dL/dR|max={np.abs(g[1:-1]).max():.3e}"
+    )
+
 
 if __name__ == "__main__":
     main()

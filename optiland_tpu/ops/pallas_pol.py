@@ -68,9 +68,11 @@ from optiland_tpu.ops.pallas_trace import (
 TILE_ROWS_POL_FWD = 128
 TILE_ROWS_POL_BWD = 32  # 64 rows OOMs scoped VMEM (r4 sweep); 16 -> 32 gave +9%
 # shard_map adds scoped-VMEM overhead (measured on the generic adjoint,
-# r4: 64 rows OOMed at 17.35M/16M under shard_map while fitting bare);
-# the polarized adjoint under shard_map ships one step smaller
-TILE_ROWS_POL_BWD_SHARDED = 16
+# r4: 64 rows OOMed at 17.35M/16M under shard_map while fitting bare).
+# The polarized adjoint at 32 rows sits well below the limit (the r4
+# sweep OOMed only at 64: 16.09M/16M), so the sharded wrapper keeps the
+# same 32-row tile — no separate Mosaic compile for the sharded path.
+TILE_ROWS_POL_BWD_SHARDED = 32
 
 N_COAT = 4  # minimum per-surface coating-scalar columns:
 #   fresnel   (n1, n2, 0, 0)    simple (T, R, 0, 0)

@@ -24,10 +24,14 @@ SCRIPTS = sorted(
 def test_example_runs(script, tmp_path):
     env = dict(os.environ)
     repo = os.path.dirname(EXAMPLES_DIR)
-    # append (never overwrite) PYTHONPATH: the ambient value carries the
-    # TPU PJRT plugin path
+    # Drop the remote-TPU PJRT plugin from PYTHONPATH for these forced-CPU
+    # subprocesses: the plugin probes its tunnel at import time even under
+    # JAX_PLATFORMS=cpu, and a wedged tunnel then hangs every example
+    # (observed round 5: scripts sat 14+ minutes at 2 s of CPU time).
     env["PYTHONPATH"] = os.pathsep.join(
-        p for p in (env.get("PYTHONPATH"), repo) if p
+        p
+        for p in (env.get("PYTHONPATH", "").split(os.pathsep) + [repo])
+        if p and "axon" not in p
     )
     env.update(
         JAX_PLATFORMS="cpu",
