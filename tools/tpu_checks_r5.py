@@ -111,6 +111,8 @@ def main():
         ("bench-polarized-tmm", ["bench.py"], 2400,
          {"BENCH_SYSTEM": "polarized_tmm"}),
         ("bench-grating", ["bench.py"], 2400, {"BENCH_SYSTEM": "grating"}),
+        ("bench-pol-sharded", ["bench.py"], 2400,
+         {"BENCH_MESH": "1", "BENCH_SYSTEM": "polarized"}),
     ]
     only = os.environ.get("R5_STAGES")
     for tag, argv, tmo, env in stages:
