@@ -9,5 +9,6 @@ through every analysis, and ray batches sharded across device meshes.
 
 from optiland_tpu import config  # noqa: F401  (enables x64 before array use)
 from optiland_tpu.coordinate_system import CoordinateSystem  # noqa: F401
+from optiland_tpu.core.geometry import register_geometry  # noqa: F401
 
 __version__ = "0.1.0"

@@ -421,6 +421,54 @@ _SAG_FNS = {
 # Families whose intersection has a closed form
 _CLOSED_FORM = {PLANE, STANDARD}
 
+# ---------------------------------------------------------------------------
+# User-defined surface families
+# (reference capability: docs/examples/Tutorial_10a_Custom_Surface_Types and
+# subclassing optiland/geometries/base.py:15-115 — here a single sag
+# function is enough: normals, intersection, and gradients are derived)
+# ---------------------------------------------------------------------------
+
+CUSTOM_GEOMETRIES: dict[str, int] = {}
+_CUSTOM_CODE_BASE = 100
+_RESERVED_TYPE_NAMES = frozenset({
+    "standard", "plane", "even_asphere", "odd_asphere", "polynomial",
+    "chebyshev", "zernike", "toroidal", "biconic", "paraxial",
+    "forbes_qbfs", "forbes_q2d", "grid_sag", "nurbs", "grating",
+})
+
+
+def register_geometry(name: str, sag_fn) -> int:
+    """Register a user-defined sag family as ``surface_type=name``.
+
+    ``sag_fn(radius, conic, coeffs, p1, p2, x, y, aux=None)`` must return
+    the surface sag z(x, y) using ``jax.numpy`` math. Everything else is
+    derived automatically by the static dispatchers:
+
+    * normals — forward-mode autodiff of the sag (`surface_normal_static`);
+    * intersection — the generic Newton solve from the base-conic guess
+      with a single differentiable implicit-function-theorem correction
+      (`distance_static`), so ``jax.grad`` flows through the trace;
+    * the scan/Pallas fast paths keep their static family sets — custom
+      families trace on the unrolled XLA engine.
+
+    ``coeffs`` arrives zero-padded to the system-wide coefficient width,
+    so the sag must treat trailing zeros as absent terms (polynomial-style
+    conventions do this naturally). ``aux`` is the static hashable extra
+    passed to ``surfaces.add(..., aux=...)``.
+
+    Returns the integer geometry code. Re-registering a name keeps its
+    code (systems already compiled stay valid) and swaps the function.
+    """
+    if name in _RESERVED_TYPE_NAMES:
+        raise ValueError(f"surface_type {name!r} is a built-in family")
+    if name in CUSTOM_GEOMETRIES:
+        code = CUSTOM_GEOMETRIES[name]
+    else:
+        code = _CUSTOM_CODE_BASE + len(CUSTOM_GEOMETRIES)
+        CUSTOM_GEOMETRIES[name] = code
+    _SAG_FNS[code] = sag_fn
+    return code
+
 
 def sag_static(code: int, radius, conic, coeffs, x, y, p1=1.0, p2=1.0, aux=None):
     """Surface sag at local coordinates (x, y) for a static geometry code."""

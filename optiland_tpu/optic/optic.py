@@ -200,6 +200,13 @@ class SurfaceGroup:
             # coordinates stay static in aux
             coeff_arr = sags.ravel()
             geo_aux = ("grid", xs, ys)
+        elif surface_type in geom.CUSTOM_GEOMETRIES:
+            # user-registered family (core.geometry.register_geometry):
+            # the two generic scalars and the static aux pass straight
+            # through to the registered sag function
+            geo_p1 = kwargs.pop("p1", 1.0)
+            geo_p2 = kwargs.pop("p2", 1.0)
+            geo_aux = kwargs.pop("aux", None)
         phase_profile = kwargs.pop("phase_profile", None)
         coating = kwargs.pop("coating", None)
         bsdf = kwargs.pop("bsdf", None)
@@ -956,6 +963,8 @@ class Optic:
                 code = geom.PLANE if np.isinf(s.radius) else geom.STANDARD
             else:
                 code = _GEOM_CODES.get(st)
+                if code is None:
+                    code = geom.CUSTOM_GEOMETRIES.get(st)
             if code is None:
                 raise NotImplementedError(f"surface_type {st!r} not yet supported")
             if code == geom.STANDARD and np.isinf(s.radius) and st != "grating":
