@@ -286,6 +286,24 @@ class AnalysisPanel(QWidget):
 
     def _attach_readout(self, canvas):
         canvas.mpl_connect("motion_notify_event", self._on_plot_move)
+        # scroll-zoom about the cursor on every analysis figure
+        # (reference: gui_plot_utils.py:110-150 wired in analysis_panel)
+        canvas.mpl_connect("scroll_event", self._on_plot_scroll)
+
+    @staticmethod
+    def _on_plot_scroll(event):
+        if event.inaxes is None or event.xdata is None:
+            return
+        from optiland_tpu_gui.plot_utils import zoom_limits
+
+        ax = event.inaxes
+        xlim, ylim = zoom_limits(
+            ax.get_xlim(), ax.get_ylim(),
+            float(event.xdata), float(event.ydata), event.button,
+        )
+        ax.set_xlim(xlim)
+        ax.set_ylim(ylim)
+        ax.figure.canvas.draw_idle()
 
     def _on_plot_move(self, event):
         if event.inaxes is None:

@@ -24,17 +24,28 @@ from optiland_tpu_gui.system_properties_panel import SystemPropertiesPanel
 from optiland_tpu_gui.utils import apply_plot_theme, install_logging
 from optiland_tpu_gui.viewer_panel import ViewerPanel
 from optiland_tpu_gui.widgets.command_palette import CommandPalette
+from optiland_tpu_gui.widgets.frameless_window import FramelessWindow
 from optiland_tpu_gui.widgets.python_terminal import PythonTerminal
 from optiland_tpu_gui.widgets.sidebar import SidebarWidget
+from optiland_tpu_gui.widgets.title_bar import TitleBar
 from optiland_tpu_gui.widgets.toast import show_toast
 
 
-class MainWindow(QMainWindow):
-    def __init__(self, optic=None, parent=None, session_path=None):
-        super().__init__(parent)
+class MainWindow(FramelessWindow):
+    """Main window; native chrome by default, ``frameless=True`` switches
+    to the custom TitleBar + edge-resize chrome (reference:
+    main_window.py + widgets/frameless_window.py + custom_title_bar.py)."""
+
+    def __init__(self, optic=None, parent=None, session_path=None,
+                 frameless: bool = False):
+        super().__init__(parent, frameless=frameless)
         self.setWindowTitle(config.APP_NAME)
         self.setObjectName("main_window")
         self.resize(*config.DEFAULT_WINDOW_SIZE)
+        self.title_bar = None
+        if frameless:
+            self.title_bar = TitleBar(self, project_name=None)
+            self.setMenuWidget(self.title_bar)
 
         from optiland_tpu.services.gui_support import SessionStore
 
@@ -54,6 +65,12 @@ class MainWindow(QMainWindow):
         self.connector.opticLoaded.connect(
             lambda: self.statusBar().showMessage("System loaded", 3000)
         )
+        if self.title_bar is not None:
+            self.connector.opticLoaded.connect(
+                lambda: self.title_bar.set_project_name(
+                    getattr(self.connector.optic, "name", None)
+                )
+            )
         # lens editor "add as optimization variable" -> optimization panel
         self.connector.variableRequested.connect(self._on_variable_request)
         # surface library warnings as toasts (reference: logging_handler.py)

@@ -12,6 +12,9 @@ def main(argv=None):
     from optiland_tpu_gui.qt import QApplication
 
     argv = list(sys.argv if argv is None else argv)
+    frameless = "--frameless" in argv
+    if frameless:
+        argv.remove("--frameless")
     app = QApplication.instance() or QApplication(argv)
 
     optic = None
@@ -26,7 +29,7 @@ def main(argv=None):
         elif path.endswith(".json"):
             optic = fileio.load_optiland_file(path)
 
-    window = MainWindow(optic)
+    window = MainWindow(optic, frameless=frameless)
     window.show()
     return app.exec()
 
